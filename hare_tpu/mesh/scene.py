@@ -1,0 +1,78 @@
+"""Device-side scene representation: padded SoA arrays (a frozen pytree).
+
+This is the TPU-native analog of the reference's pointer-rich ``Topology``
+object graph (``Hare_Geometry_Topology.cs:27-698``): instead of ``Vertex``/
+``Edge``/``Polygon`` objects with back-references, the scene is a handful of
+flat index arrays.  Vertices stay a live, differentiable input — the
+``Set_Vertex`` mutation hook (``Hare_Geometry_Topology.cs:506-511``) becomes
+"rebuild the pytree with new vertex array", and all per-triangle quantities
+(edges, normals, plane offsets) are derived inside the kernels so gradients
+flow to vertex positions.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from ..geom.math import cross, normalize
+
+__all__ = ["Scene", "PAD_POLY"]
+
+# Polygon id used for padding triangles: never matches a real poly nor the
+# NO_POLY (-1) exclusion sentinel.
+PAD_POLY = -2
+
+
+class Scene(NamedTuple):
+    """Flat triangle soup + topology metadata, ready for device kernels.
+
+    Quadrilaterals are pre-split into two triangles (0,1,2)+(2,3,0) at mesh
+    compile time — the exact decomposition ``Quadrilateral.Intersect`` tries
+    in sequence (``Hare_Geometry_Polygons.cs:731-782``) — with both halves
+    sharing one ``tri_poly`` id so hit records and origin-polygon exclusion
+    keep the reference's polygon granularity.
+
+    Triangle arrays are padded (degenerate all-zero triangles, poly id
+    ``PAD_POLY``) so counts hit TPU-friendly multiples; padding never
+    produces hits because degenerate triangles have ``det == 0``.
+    """
+
+    vertices: jnp.ndarray  # (V, 3) f32 — differentiable
+    tri_v: jnp.ndarray  # (T, 3) i32 — vertex indices per triangle
+    tri_poly: jnp.ndarray  # (T,) i32 — polygon id (quad halves share)
+    tri_top: jnp.ndarray  # (T,) i32 — topology index (Spatial_Partition.Model)
+    poly_plane: jnp.ndarray  # (P,) i32 — plane group id per polygon
+
+    @property
+    def n_tris(self) -> int:
+        return self.tri_v.shape[0]
+
+    @property
+    def n_polys(self) -> int:
+        return self.poly_plane.shape[0]
+
+    def tri_vertices(self) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Gather per-triangle corners ``(v0, v1, v2)``, each ``(T, 3)``.
+
+        Done lazily (inside jit) so ``d(hit)/d(vertices)`` flows through the
+        gather's transpose (a scatter-add over shared vertices — exactly the
+        right accumulation for welded meshes).
+        """
+        v = self.vertices
+        return v[self.tri_v[:, 0]], v[self.tri_v[:, 1]], v[self.tri_v[:, 2]]
+
+    def tri_normals(self, unit: bool = True) -> jnp.ndarray:
+        """Per-triangle normals from current vertex positions, ``(T, 3)``.
+
+        Matches ``Polygon`` ctor normal = cross(v1-v0, v2-v0), normalized
+        (``Hare_Geometry_Polygons.cs:158-172``).
+        """
+        v0, v1, v2 = self.tri_vertices()
+        n = cross(v1 - v0, v2 - v0)
+        return normalize(n) if unit else n
+
+    def with_vertices(self, vertices: jnp.ndarray) -> "Scene":
+        """Functional ``Set_Vertex``: same topology, new coordinates."""
+        return self._replace(vertices=jnp.asarray(vertices))

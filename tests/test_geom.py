@@ -1,0 +1,176 @@
+"""Unit tests for the geometry layer vs the float64 oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hare_tpu.geom import (
+    cross,
+    dot,
+    is_coplanar,
+    normalize,
+    ray_aabb,
+    ray_triangle_mt,
+    ray_triangle_watertight,
+    tri_box_overlap,
+)
+from hare_tpu.oracle import mt_intersect, slab_intersect
+
+
+def random_tris_rays(rng, n):
+    v0 = rng.uniform(-2, 2, (n, 3))
+    v1 = v0 + rng.normal(0, 1, (n, 3))
+    v2 = v0 + rng.normal(0, 1, (n, 3))
+    origin = rng.uniform(-4, 4, (n, 3))
+    direction = rng.normal(0, 1, (n, 3))
+    # Aim half the rays near the triangle centroid so hits are well sampled.
+    half = n // 2
+    centroid = (v0 + v1 + v2) / 3.0
+    direction[:half] = (centroid[:half] - origin[:half]) + rng.normal(
+        0, 0.15, (half, 3)
+    )
+    direction /= np.linalg.norm(direction, axis=1, keepdims=True)
+    return v0, v1, v2, origin, direction
+
+
+def test_math_ops(rng):
+    a = rng.normal(size=(16, 3))
+    b = rng.normal(size=(16, 3))
+    np.testing.assert_allclose(np.asarray(dot(a, b)), np.sum(a * b, -1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cross(a, b)), np.cross(a, b), rtol=1e-6)
+    n = np.asarray(normalize(a))
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, rtol=1e-6)
+
+
+def test_is_coplanar():
+    sq = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], float)
+    bent = sq.copy()
+    bent[3, 2] = 0.5
+    res = np.asarray(is_coplanar(np.stack([sq, bent])))
+    assert res[0] and not res[1]
+
+
+def test_mt_matches_oracle(rng):
+    """Two-sided branch-free MT == reference winding-flip + one-sided MT."""
+    v0, v1, v2, o, d = random_tris_rays(rng, 500)
+    valid, t, u, v = (
+        np.asarray(x)
+        for x in ray_triangle_mt(
+            jnp.asarray(o, jnp.float64) if False else jnp.asarray(o),
+            jnp.asarray(d), jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+        )
+    )
+    n_hits = 0
+    for i in range(len(o)):
+        ref = mt_intersect(o[i], d[i], v0[i], v1[i], v2[i])
+        # Compare hit/miss and t; (u, v) basis differs on back-face hits
+        # (the reference reports them in flipped winding) so compare the
+        # reconstructed hit point instead.
+        if ref is None:
+            assert not valid[i] or abs(t[i]) > 1e30 or True  # see below
+            # The jnp kernel may report a hit the oracle filtered only via
+            # det-eps asymmetry; check strictly:
+            assert not valid[i], f"ray {i}: jnp hit but oracle missed"
+        else:
+            assert valid[i], f"ray {i}: oracle hit but jnp missed"
+            assert abs(t[i] - ref[0]) < 1e-4 * max(1.0, abs(ref[0]))
+            p_jnp = o[i] + t[i] * d[i]
+            p_ref = o[i] + ref[0] * d[i]
+            np.testing.assert_allclose(p_jnp, p_ref, atol=1e-4)
+            # u, v must reconstruct the same point in the unflipped basis.
+            p_bary = v0[i] + u[i] * (v1[i] - v0[i]) + v[i] * (v2[i] - v0[i])
+            np.testing.assert_allclose(p_bary, p_ref, atol=1e-3)
+            n_hits += 1
+    assert n_hits > 20  # sanity: the sample actually exercises hits
+
+
+def test_watertight_agrees_with_mt(rng):
+    v0, v1, v2, o, d = random_tris_rays(rng, 500)
+    vm, tm, um, vvm = (np.asarray(x) for x in ray_triangle_mt(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)))
+    vw, tw, uw, vvw = (np.asarray(x) for x in ray_triangle_watertight(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)))
+    # Watertight accepts a superset (no det cutoff); on clear hits they agree.
+    both = vm & vw
+    assert both.sum() > 20
+    np.testing.assert_allclose(tm[both], tw[both], atol=1e-3)
+    np.testing.assert_allclose(um[both], uw[both], atol=1e-3)
+    np.testing.assert_allclose(vvm[both], vvw[both], atol=1e-3)
+    # Any MT hit missed by watertight would be a watertightness violation.
+    assert not np.any(vm & ~vw)
+
+
+def test_watertight_shared_edge(rng):
+    """Rays aimed at a shared edge must hit exactly one of the two tris."""
+    a, b = np.array([0.0, 0.0, 0.0]), np.array([1.0, 0.0, 0.0])
+    c, dpt = np.array([0.5, 1.0, 0.0]), np.array([0.5, -1.0, 0.0])
+    n = 256
+    ts = rng.uniform(0.05, 0.95, n)
+    targets = a[None] + ts[:, None] * (b - a)[None]
+    o = np.array([0.3, 0.1, 3.0])[None].repeat(n, 0) + rng.normal(0, 0.2, (n, 3)) * [1, 1, 0]
+    d = targets - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    args = lambda t0, t1, t2: (jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+                               jnp.asarray(np.tile(t0, (n, 1)), jnp.float32),
+                               jnp.asarray(np.tile(t1, (n, 1)), jnp.float32),
+                               jnp.asarray(np.tile(t2, (n, 1)), jnp.float32))
+    h1 = np.asarray(ray_triangle_watertight(*args(a, b, c))[0])
+    h2 = np.asarray(ray_triangle_watertight(*args(b, a, dpt))[0])
+    hits = h1.astype(int) + h2.astype(int)
+    assert np.all(hits >= 1), "crack along shared edge"
+
+
+def test_ray_aabb_matches_oracle(rng):
+    n = 400
+    box_min = rng.uniform(-2, 0, (n, 3))
+    box_max = box_min + rng.uniform(0.1, 3, (n, 3))
+    o = rng.uniform(-4, 4, (n, 3))
+    d = rng.normal(0, 1, (n, 3))
+    # Include some axis-parallel rays.
+    d[:50, 0] = 0.0
+    d[25:75, 1] = 0.0
+    hit, t_near, t_far = (np.asarray(x) for x in ray_aabb(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(box_min), jnp.asarray(box_max)))
+    for i in range(n):
+        ref = slab_intersect(o[i], d[i], box_min[i], box_max[i])
+        if ref is None:
+            assert not hit[i], i
+        else:
+            assert hit[i], i
+            np.testing.assert_allclose(t_near[i], ref[0], atol=1e-5)
+            np.testing.assert_allclose(t_far[i], ref[1], atol=1e-5)
+
+
+def test_ray_aabb_inside():
+    hit, t_near, t_far = ray_aabb(
+        jnp.array([0.5, 0.5, 0.5]), jnp.array([1.0, 0.0, 0.0]),
+        jnp.zeros(3), jnp.ones(3))
+    assert bool(hit) and float(t_near) <= 0.0 and abs(float(t_far) - 0.5) < 1e-6
+
+
+def test_tri_box_overlap_brute(rng):
+    """SAT result == conservative point-sampling check on clear cases."""
+    n = 300
+    tri = rng.uniform(-1.5, 1.5, (n, 3, 3))
+    center = np.zeros((n, 3))
+    half = np.full((n, 3), 0.5)
+    res = tri_box_overlap(tri, center, half)
+    # Brute check: dense barycentric sampling of the triangle vs the box.
+    u = np.linspace(0, 1, 40)
+    uu, vv = np.meshgrid(u, u)
+    m = uu + vv <= 1
+    uu, vv = uu[m], vv[m]
+    for i in range(n):
+        pts = (tri[i, 0][None] + uu[:, None] * (tri[i, 1] - tri[i, 0])[None]
+               + vv[:, None] * (tri[i, 2] - tri[i, 0])[None])
+        inside = np.all(np.abs(pts) <= 0.5 + 1e-12, axis=1).any()
+        if inside:
+            assert res[i], f"tri {i}: sampled point inside box but SAT says no"
+        # (SAT may report overlap when only the interior plane crosses —
+        # sampling is a one-sided check.)
+
+
+def test_tri_box_separated():
+    tri = np.array([[[2.0, 2, 2], [3, 2, 2], [2, 3, 2]]])
+    assert not tri_box_overlap(tri, np.zeros((1, 3)), np.full((1, 3), 0.5))[0]
+    tri2 = np.array([[[-0.2, -0.2, 0.0], [0.2, -0.2, 0.0], [0.0, 0.2, 0.0]]])
+    assert tri_box_overlap(tri2, np.zeros((1, 3)), np.full((1, 3), 0.5))[0]
