@@ -1,0 +1,159 @@
+"""Differentiable multi-bounce specular tracing (reference layer L4).
+
+The reference has no bounce loop of its own — its consumer (Pachyderm) loops
+``Shoot -> reflect about Normal(Poly_id) -> new Ray with poly_origin1 = hit
+id -> Shoot`` (SURVEY.md §3.3; the ``poly_origin`` exclusion at
+``Spatial_Partition.cs:33`` and ``Char_Step`` epsilon at ``:31`` exist
+exactly for this loop).  Here that loop is a ``lax.scan`` over a fixed
+maximum bounce count with live-lane masks: terminated rays keep riding with
+zero energy, trading wasted lanes for the static shapes XLA needs.
+
+Energy model: each ray starts with unit energy; at every hit the energy is
+multiplied by ``(1 - absorption[poly])`` — the hook that makes
+``jax.grad(histogram)`` w.r.t. absorption (and, through the hit geometry,
+w.r.t. vertex positions) meaningful.  Per-bounce energies/times are scattered
+into a time-binned impulse-response histogram.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..geom.math import dot, norm, normalize
+from ..geom.primitives import NO_POLY, HitRecord, Ray
+from ..mesh.scene import Scene
+
+__all__ = ["TraceResult", "reflect", "trace_rays", "energy_histogram"]
+
+SOUND_SPEED = 343.0  # m/s, for time binning
+
+
+def reflect(direction: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
+    """Specular reflection about a (not necessarily unit-consistent-sign)
+    normal: invariant to the sign of ``normal``."""
+    return direction - 2.0 * dot(direction, normal)[..., None] * normal
+
+
+class TraceResult(NamedTuple):
+    """Per-bounce trace record, all shaped ``(n_bounces, n_rays, ...)``."""
+
+    hit: jnp.ndarray  # (B, N) bool — ray was alive and hit at this bounce
+    energy: jnp.ndarray  # (B, N) energy AFTER this bounce's absorption
+    time: jnp.ndarray  # (B, N) cumulative path time at the hit (seconds)
+    poly_id: jnp.ndarray  # (B, N) i32
+    point: jnp.ndarray  # (B, N, 3)
+    t: jnp.ndarray  # (B, N) hit parameter of each bounce
+
+
+@partial(
+    jax.jit,
+    static_argnames=("shoot_fn", "n_bounces", "sound_speed"),
+)
+def trace_rays(
+    scene: Scene,
+    rays: Ray,
+    absorption: jnp.ndarray,
+    n_bounces: int,
+    shoot_fn: Callable[[Scene, Ray], HitRecord],
+    sound_speed: float = SOUND_SPEED,
+) -> TraceResult:
+    """Trace ``rays`` for up to ``n_bounces`` specular reflections.
+
+    Args:
+      scene: compiled Scene.
+      rays: ray batch ``(N,)``; directions need not be unit (times use the
+        true metric length).
+      absorption: ``(P,)`` per-polygon energy absorption coefficients in
+        [0, 1] — the differentiable material parameter.
+      shoot_fn: any ``(scene, rays) -> HitRecord`` backend (brute, grid,
+        octree, KD — the ``Spatial_Partition`` polymorphism).
+    """
+    d0 = normalize(rays.direction)
+    n = rays.origin.shape[0]
+
+    class _S(NamedTuple):
+        origin: jnp.ndarray
+        direction: jnp.ndarray
+        exclude: jnp.ndarray
+        energy: jnp.ndarray
+        dist: jnp.ndarray
+        alive: jnp.ndarray
+
+    init = _S(
+        origin=rays.origin,
+        direction=d0,
+        exclude=rays.exclude_poly,
+        energy=jnp.ones(n, rays.origin.dtype),
+        dist=jnp.zeros(n, rays.origin.dtype),
+        alive=jnp.ones(n, bool),
+    )
+
+    def body(s: _S, _):
+        hr = shoot_fn(scene, Ray(s.origin, s.direction, s.exclude))
+        live_hit = hr.hit & s.alive
+
+        # Geometric normal of the hit triangle from live vertices (grad path
+        # to vertex positions flows through here and through hr itself).
+        tri = jnp.maximum(hr.tri_id, 0)
+        v = scene.vertices
+        iv = scene.tri_v[tri]
+        e1 = v[iv[:, 1]] - v[iv[:, 0]]
+        e2 = v[iv[:, 2]] - v[iv[:, 0]]
+        n_hat = normalize(jnp.cross(e1, e2))
+
+        pid = jnp.maximum(hr.poly_id, 0)
+        a = absorption[pid]
+        energy = jnp.where(live_hit, s.energy * (1.0 - a), s.energy)
+        dist = s.dist + jnp.where(live_hit, hr.t, 0.0)
+
+        out = (
+            live_hit,
+            jnp.where(live_hit, energy, 0.0),
+            dist / sound_speed,
+            jnp.where(live_hit, hr.poly_id, NO_POLY),
+            hr.point,
+            jnp.where(live_hit, hr.t, jnp.inf),
+        )
+
+        new_dir = reflect(s.direction, n_hat)
+        exclude = jnp.stack(
+            [jnp.where(live_hit, hr.poly_id, NO_POLY)] * 2, axis=-1
+        ).at[..., 1].set(NO_POLY)
+        nxt = _S(
+            origin=jnp.where(live_hit[:, None], hr.point, s.origin),
+            direction=jnp.where(live_hit[:, None], new_dir, s.direction),
+            exclude=exclude,
+            energy=energy,
+            dist=dist,
+            alive=live_hit,
+        )
+        return nxt, out
+
+    _, (hit, energy, time, poly, point, t) = jax.lax.scan(
+        body, init, None, length=n_bounces
+    )
+    return TraceResult(hit, energy, time, poly, point, t)
+
+
+@partial(jax.jit, static_argnames=("n_bins",))
+def energy_histogram(
+    result: TraceResult, n_bins: int, bin_dt: float = 1e-3
+) -> jnp.ndarray:
+    """Time-binned impulse-response energy histogram, ``(n_bins,)``.
+
+    Scatter-add of every bounce's post-absorption energy into
+    ``floor(time / bin_dt)``; energies beyond the window are clamped into the
+    last bin so totals are conserved (tests rely on total == sum of bounce
+    energies).  ``segment_sum`` lowers to an efficient one-pass scatter.
+    """
+    bins = jnp.clip((result.time / bin_dt).astype(jnp.int32), 0, n_bins - 1)
+    flat_bins = jnp.where(result.hit, bins, n_bins)  # dead lanes -> dropped
+    return jax.ops.segment_sum(
+        result.energy.ravel(),
+        flat_bins.ravel(),
+        num_segments=n_bins + 1,
+    )[:n_bins]
