@@ -5,5 +5,21 @@ structure answers the same nearest-hit query and must agree with brute force.
 """
 
 from .brute import shoot_brute
+from .voxel import VoxelGrid, build_voxel_grid, shoot_grid
+from .octree import Octree, build_octree, shoot_octree
+from .kdtree import KDTree, build_kdtree, shoot_kdtree
+from .partition import SpatialPartition
 
-__all__ = ["shoot_brute"]
+__all__ = [
+    "SpatialPartition",
+    "KDTree",
+    "Octree",
+    "VoxelGrid",
+    "build_kdtree",
+    "build_octree",
+    "build_voxel_grid",
+    "shoot_brute",
+    "shoot_grid",
+    "shoot_kdtree",
+    "shoot_octree",
+]

@@ -1,0 +1,85 @@
+"""The public query facade: ``SpatialPartition`` (reference L4 contract).
+
+Mirrors the reference's abstract base (``Spatial_Partition.cs:27-35``):
+``Model`` (the topologies), ``Char_Step`` (characteristic step — the min
+voxel dimension, used by consumers to epsilon-offset reflected rays), and
+``Shoot`` with and without origin-polygon exclusion (exclusion rides on
+``Ray.exclude_poly`` here).  The accel structure is chosen by name, and
+``shoot_fn`` returns a closed-over ``(scene, rays) -> HitRecord`` suitable
+for :func:`hare_tpu.trace.trace_rays`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence, Union
+
+import numpy as np
+
+from ..geom.primitives import HitRecord, Ray
+from ..mesh.scene import Scene
+from ..mesh.topology import Topology, build_scene
+from .brute import shoot_brute
+from .kdtree import build_kdtree, shoot_kdtree
+from .octree import build_octree, shoot_octree
+from .voxel import build_voxel_grid, shoot_grid
+
+__all__ = ["SpatialPartition"]
+
+
+class SpatialPartition:
+    """Scene + acceleration structure, behind one ``shoot`` API.
+
+    accel: ``"brute" | "grid" | "octree" | "kdtree"``; structure build
+    parameters pass through (``domain/avg_polys`` for the grid a la
+    ``Voxel_Grid.cs:48,128``; ``max_depth/max_tris_per_node`` for trees a la
+    ``Octree - alt.cs:45`` / ``KDTree.cs:51``).
+    """
+
+    def __init__(
+        self,
+        model: Union[Topology, Sequence[Topology]],
+        accel: str = "grid",
+        kernel: str = "mt",
+        **params,
+    ):
+        if isinstance(model, Topology):
+            model = [model]
+        self.model = list(model)
+        self.scene: Scene = build_scene(self.model)
+        self.accel_name = accel
+        self.kernel = kernel
+
+        if accel == "brute":
+            self.struct = None
+            self._shoot = partial(shoot_brute, kernel=kernel, **params)
+            # Char_Step analog for brute force: smallest triangle edge.
+            tri = np.concatenate([t.vertices[t.tri_v] for t in self.model])
+            e = np.linalg.norm(tri - np.roll(tri, 1, axis=1), axis=2)
+            self.char_step = float(e[e > 0].min()) if (e > 0).any() else 1.0
+        elif accel == "grid":
+            self.struct = build_voxel_grid(self.scene, **params)
+            self._shoot = partial(shoot_grid, grid=self.struct, kernel=kernel)
+            self.char_step = self.struct.char_step
+        elif accel == "octree":
+            self.struct = build_octree(self.scene, **params)
+            self._shoot = partial(shoot_octree, tree=self.struct, kernel=kernel)
+            ext = np.asarray(self.struct.node_max[0] - self.struct.node_min[0])
+            self.char_step = float(ext.min()) / (2 ** self.struct.max_depth)
+        elif accel == "kdtree":
+            self.struct = build_kdtree(self.scene, **params)
+            self._shoot = partial(shoot_kdtree, tree=self.struct, kernel=kernel)
+            ext = np.asarray(self.struct.root_max - self.struct.root_min)
+            self.char_step = float(ext.min()) / (2 ** min(self.struct.max_depth, 16))
+        else:
+            raise ValueError(f"unknown accel {accel!r}")
+
+    def shoot(self, rays: Ray, top_index: Optional[int] = None) -> HitRecord:
+        """``Spatial_Partition.Shoot`` — both overloads: exclusion rides on
+        ``rays.exclude_poly`` (``NO_POLY`` = none)."""
+        return self._shoot(self.scene, rays, top_index=top_index)
+
+    @property
+    def shoot_fn(self) -> Callable[[Scene, Ray], HitRecord]:
+        """``(scene, rays) -> HitRecord`` for trace_rays composition."""
+        return lambda scene, rays: self._shoot(scene, rays)

@@ -1,0 +1,145 @@
+"""Octree + KD-tree: build invariants and agreement with brute force."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hare_tpu.geom import Ray
+from hare_tpu.accel import (
+    build_kdtree,
+    build_octree,
+    shoot_brute,
+    shoot_kdtree,
+    shoot_octree,
+)
+from hare_tpu.mesh import Topology, build_scene, shapes
+
+
+def rand_dirs(rng, n):
+    d = rng.normal(0, 1, (n, 3))
+    return d / np.linalg.norm(d, axis=1, keepdims=True)
+
+
+def agree(sc, shoot_fn, o, d, ex=None, **kw):
+    rays = Ray.make(
+        jnp.asarray(o, jnp.float32),
+        jnp.asarray(d, jnp.float32),
+        None if ex is None else jnp.asarray(ex, jnp.int32),
+    )
+    hb = jax.tree.map(np.asarray, shoot_brute(sc, rays, **kw))
+    ht = jax.tree.map(np.asarray, shoot_fn(sc, rays, **kw))
+    np.testing.assert_array_equal(hb.hit, ht.hit)
+    h = hb.hit
+    np.testing.assert_allclose(hb.t[h], ht.t[h], rtol=1e-5, atol=1e-6)
+    ties = np.abs(hb.t[h] - ht.t[h]) < 1e-5
+    assert ((hb.tri_id[h] == ht.tri_id[h]) | ties).all()
+    return hb, ht
+
+
+# ------------------------------------------------------------------- builds
+def test_octree_build():
+    top = Topology.build(shapes.icosphere(2))
+    tr = build_octree(top, max_depth=5, max_tris_per_node=8)
+    assert tr.n_nodes >= 9  # root split at least once
+    cb = np.asarray(tr.child_base)
+    lc = np.asarray(tr.leaf_count)
+    ls = np.asarray(tr.leaf_start)
+    leaves = cb < 0
+    # non-empty leaves: CSR ranges within bounds; all tris reachable
+    M = len(np.asarray(tr.leaf_tris))
+    assert (ls[leaves] + lc[leaves] <= M).all()
+    assert set(np.asarray(tr.leaf_tris).tolist()) == set(range(top.n_tris))
+    # children boxes tile the parent
+    inner = np.nonzero(~leaves)[0]
+    nm, nx = np.asarray(tr.node_min), np.asarray(tr.node_max)
+    for nid in inner[:10]:
+        kids = cb[nid] + np.arange(8)
+        np.testing.assert_allclose(nm[kids].min(0), nm[nid], atol=1e-6)
+        np.testing.assert_allclose(nx[kids].max(0), nx[nid], atol=1e-6)
+
+
+def test_kdtree_build():
+    top = Topology.build(shapes.concert_hall())
+    tr = build_kdtree(top, max_depth=14, max_tris_per_node=12)
+    ax = np.asarray(tr.axis)
+    assert (ax <= 2).all() and (ax >= -1).all()
+    assert set(np.asarray(tr.leaf_tris).tolist()) == set(range(top.n_tris))
+    # leaves are bounded by the build criterion or duplication-forced
+    lc = np.asarray(tr.leaf_count)
+    assert lc.max() == tr.max_leaf_tris
+
+
+# ---------------------------------------------------------------- agreement
+@pytest.mark.parametrize("which", ["octree", "kdtree"])
+def test_tree_agreement_room(rng, which):
+    top = Topology.build(shapes.shoebox(4, 5, 3))
+    sc = top.scene()
+    if which == "octree":
+        tr = build_octree(top, max_depth=4, max_tris_per_node=4)
+        fn = lambda sc, rays, **kw: shoot_octree(sc, rays, tr, **kw)
+    else:
+        tr = build_kdtree(top, max_depth=8, max_tris_per_node=4)
+        fn = lambda sc, rays, **kw: shoot_kdtree(sc, rays, tr, **kw)
+    o = rng.uniform((0.2, 0.2, 0.2), (3.8, 4.8, 2.8), (300, 3))
+    agree(sc, fn, o, rand_dirs(rng, 300))
+
+
+@pytest.mark.parametrize("which", ["octree", "kdtree"])
+def test_tree_agreement_soup(rng, which):
+    top = Topology.build(shapes.random_soup(300, seed=17))
+    sc = top.scene()
+    if which == "octree":
+        tr = build_octree(top, max_depth=6, max_tris_per_node=12)
+        fn = lambda sc, rays, **kw: shoot_octree(sc, rays, tr, **kw)
+    else:
+        tr = build_kdtree(top, max_depth=12, max_tris_per_node=12)
+        fn = lambda sc, rays, **kw: shoot_kdtree(sc, rays, tr, **kw)
+    o = rng.uniform(-1, 11, (300, 3))
+    agree(sc, fn, o, rand_dirs(rng, 300))
+
+
+@pytest.mark.parametrize("which", ["octree", "kdtree"])
+def test_tree_agreement_hall(rng, which):
+    top = Topology.build(shapes.concert_hall())
+    sc = top.scene()
+    if which == "octree":
+        tr = build_octree(top, max_depth=6, max_tris_per_node=16)
+        fn = lambda sc, rays, **kw: shoot_octree(sc, rays, tr, **kw)
+    else:
+        tr = build_kdtree(top, max_depth=14, max_tris_per_node=16)
+        fn = lambda sc, rays, **kw: shoot_kdtree(sc, rays, tr, **kw)
+    o = rng.uniform((2, 2, 1), (28, 48, 16), (100, 3))
+    agree(sc, fn, o, rand_dirs(rng, 100))
+
+
+def test_tree_exclusion(rng):
+    top = Topology.build(shapes.shoebox())
+    sc = top.scene()
+    tr = build_octree(top, max_depth=4, max_tris_per_node=4)
+    kd = build_kdtree(top, max_depth=8, max_tris_per_node=4)
+    o = rng.uniform((0.5, 0.5, 0.5), (3.5, 4.5, 2.5), (50, 3)).astype(np.float32)
+    d = rand_dirs(rng, 50).astype(np.float32)
+    h0 = shoot_brute(sc, Ray.make(o, d))
+    ex = np.stack([np.asarray(h0.poly_id), np.full(50, -1)], axis=1).astype(np.int32)
+    for fn in (
+        lambda r: shoot_octree(sc, r, tr),
+        lambda r: shoot_kdtree(sc, r, kd),
+    ):
+        h = fn(Ray.make(o, d, ex))
+        hit = np.asarray(h.hit)
+        assert (np.asarray(h.poly_id)[hit] != ex[hit, 0]).all()
+
+
+def test_tree_multi_topology(rng):
+    t1 = Topology.build(shapes.shoebox())
+    t2 = Topology.build(shapes.icosphere(1, radius=0.8, center=(2.0, 2.5, 1.5)))
+    sc = build_scene([t1, t2])
+    tr = build_octree(sc, max_depth=5, max_tris_per_node=8)
+    kd = build_kdtree(sc, max_depth=10, max_tris_per_node=8)
+    o = rng.uniform((0.5, 0.5, 0.5), (3.5, 4.5, 2.5), (80, 3))
+    d = rand_dirs(rng, 80)
+    agree(sc, lambda s, r, **kw: shoot_octree(s, r, tr, **kw), o, d)
+    agree(sc, lambda s, r, **kw: shoot_kdtree(s, r, kd, **kw), o, d)
+    agree(sc, lambda s, r, **kw: shoot_octree(s, r, tr, **kw), o, d, top_index=1)
+    agree(sc, lambda s, r, **kw: shoot_kdtree(s, r, kd, **kw), o, d, top_index=1)

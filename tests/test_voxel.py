@@ -1,0 +1,134 @@
+"""Voxel grid: build correctness + DDA agreement with brute force."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hare_tpu.geom import Ray
+from hare_tpu.accel import build_voxel_grid, shoot_brute, shoot_grid
+from hare_tpu.mesh import Topology, build_scene, shapes
+
+
+def agree(sc, grid, o, d, ex=None, **kw):
+    rays = Ray.make(
+        jnp.asarray(o, jnp.float32),
+        jnp.asarray(d, jnp.float32),
+        None if ex is None else jnp.asarray(ex, jnp.int32),
+    )
+    hb = jax.tree.map(np.asarray, shoot_brute(sc, rays, **kw))
+    hg = jax.tree.map(np.asarray, shoot_grid(sc, rays, grid, **kw))
+    np.testing.assert_array_equal(hb.hit, hg.hit)
+    h = hb.hit
+    np.testing.assert_allclose(hb.t[h], hg.t[h], rtol=1e-5, atol=1e-6)
+    # Same polygon unless two tris tie at the same t (coplanar overlap).
+    same = hb.tri_id[h] == hg.tri_id[h]
+    ties = np.abs(hb.t[h] - hg.t[h]) < 1e-5
+    assert (same | ties).all()
+    return hb, hg
+
+
+def rand_dirs(rng, n):
+    d = rng.normal(0, 1, (n, 3))
+    return d / np.linalg.norm(d, axis=1, keepdims=True)
+
+
+def test_grid_build_shoebox():
+    top = Topology.build(shapes.shoebox(4, 5, 3))
+    grid = build_voxel_grid(top, domain=4)
+    assert grid.dims == (4, 4, 4)
+    assert grid.n_cells == 64
+    # every wall triangle appears in at least one cell
+    assert set(np.asarray(grid.cell_tris).tolist()) == set(range(12))
+    # CSR is consistent
+    cs = np.asarray(grid.cell_start)
+    assert cs[0] == 0 and cs[-1] == len(np.asarray(grid.cell_tris))
+    assert (np.diff(cs) >= 0).all()
+    assert grid.char_step > 0
+
+
+def test_grid_adaptive():
+    top = Topology.build(shapes.concert_hall())
+    grid = build_voxel_grid(top, domain=None, max_doublings=5, avg_polys=16.0)
+    counts = np.diff(np.asarray(grid.cell_start))
+    occ = counts[counts > 0]
+    # adaptive criterion reached (or the doubling cap)
+    assert occ.mean() < 16.0 or grid.dims[0] == 32
+    assert grid.max_cell_tris == counts.max()
+
+
+def test_grid_agreement_shoebox(rng):
+    top = Topology.build(shapes.shoebox(4, 5, 3))
+    sc = top.scene()
+    grid = build_voxel_grid(top, domain=4)
+    o = rng.uniform((0.2, 0.2, 0.2), (3.8, 4.8, 2.8), (300, 3))
+    agree(sc, grid, o, rand_dirs(rng, 300))
+
+
+def test_grid_agreement_outside_rays(rng):
+    """Rays starting outside the grid get clipped to the entry point."""
+    top = Topology.build(shapes.icosphere(2))
+    sc = top.scene()
+    grid = build_voxel_grid(top, domain=8)
+    o = rng.uniform(-4, 4, (200, 3))
+    o[np.linalg.norm(o, axis=1) < 1.5] *= 3.0  # push outside
+    # aim toward the sphere so many enter the grid
+    d = -o + rng.normal(0, 0.3, (200, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    hb, _ = agree(sc, grid, o, d)
+    assert np.asarray(hb.hit).sum() > 50
+
+
+def test_grid_agreement_soup(rng):
+    top = Topology.build(shapes.random_soup(300, seed=11))
+    sc = top.scene()
+    grid = build_voxel_grid(top, domain=None, avg_polys=8.0)
+    o = rng.uniform(-1, 11, (300, 3))
+    agree(sc, grid, o, rand_dirs(rng, 300))
+
+
+def test_grid_exclusion(rng):
+    top = Topology.build(shapes.shoebox())
+    sc = top.scene()
+    grid = build_voxel_grid(top, domain=4)
+    o = rng.uniform((0.5, 0.5, 0.5), (3.5, 4.5, 2.5), (100, 3))
+    d = rand_dirs(rng, 100)
+    # First find hits without exclusion, then exclude each hit polygon.
+    rays = Ray.make(jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32))
+    h0 = shoot_grid(sc, rays, grid)
+    ex = np.stack([np.asarray(h0.poly_id), np.full(100, -1)], axis=1)
+    hb, hg = agree(sc, grid, o, d, ex=ex)
+    # excluded polygon never returned
+    assert (np.asarray(hg.poly_id)[np.asarray(hg.hit)] != ex[np.asarray(hg.hit), 0]).all()
+
+
+def test_grid_in_bounce_loop(rng):
+    """The grid backend slots into trace_rays like brute force."""
+    from functools import partial
+    from hare_tpu.trace import trace_rays
+
+    top = Topology.build(shapes.shoebox(4, 5, 3))
+    sc = top.scene()
+    grid = build_voxel_grid(top, domain=4)
+    a = jnp.full(top.n_polys, 0.3, jnp.float32)
+    o = np.tile(np.array([2.0, 2.5, 1.5], np.float32), (64, 1))
+    d = rand_dirs(rng, 64).astype(np.float32)
+    rays = Ray.make(o, d)
+    shoot_fn = partial(shoot_grid, grid=grid)
+    res_g = trace_rays(sc, rays, a, 4, shoot_fn)
+    res_b = trace_rays(sc, rays, a, 4, shoot_brute)
+    np.testing.assert_array_equal(np.asarray(res_g.hit), np.asarray(res_b.hit))
+    np.testing.assert_allclose(
+        np.asarray(res_g.energy), np.asarray(res_b.energy), rtol=1e-5
+    )
+
+
+def test_grid_multi_topology(rng):
+    t1 = Topology.build(shapes.shoebox())
+    t2 = Topology.build(shapes.icosphere(1, radius=0.8, center=(2.0, 2.5, 1.5)))
+    sc = build_scene([t1, t2])
+    grid = build_voxel_grid(sc, domain=8)
+    o = rng.uniform((0.5, 0.5, 0.5), (3.5, 4.5, 2.5), (100, 3))
+    d = rand_dirs(rng, 100)
+    agree(sc, grid, o, d)
+    # restricted to topology 0 also agrees
+    agree(sc, grid, o, d, top_index=0)
