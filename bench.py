@@ -1,0 +1,87 @@
+"""Benchmark runner: prints ONE JSON line for the driver.
+
+Metric (BASELINE.json): Mrays/s/chip forward+backward on a ~100k-tri scene
+through the voxel-grid DDA backend, gradients w.r.t. absorption.  The
+reference publishes no numbers (BASELINE.md); vs_baseline is reported
+against our own r1 CPU-oracle-validated first measurement recorded in
+BENCH_BASELINE (update as rounds improve).
+"""
+
+import json
+import time
+
+import numpy as np
+
+# First recorded fwd+bwd figure (r1); later rounds report speedup vs this.
+BASELINE_MRAYS = 1.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hare_tpu.geom import Ray
+    from hare_tpu.accel import SpatialPartition
+    from hare_tpu.mesh import Topology, shapes
+    from hare_tpu.trace import energy_histogram, trace_rays, uniform_sphere
+
+    # ~100k-tri scene: subdivided icosphere inside a shoebox shell.
+    faces = shapes.shoebox(20.0, 20.0, 20.0) + shapes.icosphere(
+        6, radius=6.0, center=(10.0, 10.0, 10.0)
+    )
+    top = Topology.build(faces)
+    sp = SpatialPartition(top, accel="grid", max_doublings=6, avg_polys=12.0)
+
+    n_rays = 1 << 15
+    n_bounces = 3
+    key = jax.random.PRNGKey(0)
+    d = uniform_sphere(key, n_rays)
+    o = jnp.tile(jnp.array([10.0, 10.0, 10.0], jnp.float32), (n_rays, 1))
+    # offset origins outside the sphere so rays traverse real geometry
+    o = o + 6.5 * d  # start just outside the sphere surface, heading out
+    rays = Ray.make(o, d)
+    a = jnp.full(top.n_polys, 0.3, jnp.float32)
+
+    shoot_fn = sp.shoot_fn
+
+    def loss(a_, rays_):
+        res = trace_rays(sp.scene, rays_, a_, n_bounces, shoot_fn)
+        return jnp.sum(energy_histogram(res, 1024, 1e-3))
+
+    fwd_bwd = jax.jit(jax.value_and_grad(loss))
+
+    # Warmup/compile
+    v, g = fwd_bwd(a, rays)
+    jax.block_until_ready((v, g))
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        v, g = fwd_bwd(a, rays)
+    jax.block_until_ready((v, g))
+    dt = (time.perf_counter() - t0) / iters
+
+    total_rays = n_rays * n_bounces  # each bounce is a full shoot
+    mrays = total_rays / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays/s/chip fwd+bwd (100k-tri scene, grid DDA, 3-bounce)",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+                "detail": {
+                    "n_tris": top.n_tris,
+                    "n_rays": n_rays,
+                    "n_bounces": n_bounces,
+                    "grid_dims": sp.struct.dims,
+                    "device": str(jax.devices()[0]),
+                    "step_ms": round(dt * 1e3, 2),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

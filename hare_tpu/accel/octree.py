@@ -48,6 +48,7 @@ from ..geom.tribox import tri_box_overlap
 from ..mesh.scene import Scene
 from ..mesh.topology import Topology
 from .brute import _KERNELS
+from .common import finalize_hits
 
 __all__ = ["Octree", "build_octree", "shoot_octree"]
 
@@ -170,6 +171,11 @@ def shoot_octree(
     max_iters = int(tree.n_nodes)
 
     def one_ray(o, d, ex):
+        # Varying-zero seeds (see voxel.py): loop carries must match the
+        # varying type of per-ray values under shard_map.
+        vzero = jnp.sum(o) * 0.0
+        izero = vzero.astype(jnp.int32)
+
         def leaf_test(nid, best):
             start = tree.leaf_start[nid]
             end = start + tree.leaf_count[nid]
@@ -196,14 +202,13 @@ def shoot_octree(
             )
 
         # Stack of (node_id, tmin); root pushed if the ray hits its box.
-        s_node = jnp.zeros(stack_size, jnp.int32)
-        s_tmin = jnp.full(stack_size, inf)
+        s_node = jnp.zeros(stack_size, jnp.int32) + izero
+        s_tmin = jnp.full(stack_size, inf) + vzero
         rhit, rtmin, _ = ray_aabb(o, d, tree.node_min[0], tree.node_max[0])
         sp = jnp.where(rhit, 1, 0)
         s_tmin = s_tmin.at[0].set(jnp.maximum(rtmin, 0.0))
 
-        best0 = (inf, jnp.asarray(0.0, v0a.dtype), jnp.asarray(0.0, v0a.dtype),
-                 jnp.asarray(0, jnp.int32))
+        best0 = (inf + vzero, vzero, vzero, izero)
 
         def cond(c):
             sp, _, _, _, it = c
@@ -264,21 +269,15 @@ def shoot_octree(
             )
             return (sp, s_node, s_tmin, best, it + 1)
 
-        init = (sp, s_node, s_tmin, best0, jnp.asarray(0, jnp.int32))
+        init = (sp, s_node, s_tmin, best0, izero)
         _, _, _, best, _ = jax.lax.while_loop(cond, body, init)
         return best
 
+    # Traversal is reverse-AD-opaque (while_loop); gradients come from the
+    # differentiable re-evaluation in finalize_hits at fixed hit topology.
     best_t, best_u, best_v, best_tri = jax.vmap(one_ray)(
-        rays.origin, rays.direction, rays.exclude_poly
+        jax.lax.stop_gradient(rays.origin),
+        jax.lax.stop_gradient(rays.direction),
+        rays.exclude_poly,
     )
-    hit = jnp.isfinite(best_t)
-    point = rays.at(jnp.where(hit, best_t, 0.0))
-    return HitRecord(
-        hit=hit,
-        t=jnp.where(hit, best_t, jnp.inf),
-        u=jnp.where(hit, best_u, 0.0),
-        v=jnp.where(hit, best_v, 0.0),
-        point=jnp.where(hit[..., None], point, 0.0),
-        poly_id=jnp.where(hit, tri_poly[jnp.maximum(best_tri, 0)], NO_POLY).astype(jnp.int32),
-        tri_id=jnp.where(hit, best_tri, NO_POLY).astype(jnp.int32),
-    )
+    return finalize_hits(scene, rays, best_t, best_tri, ktest)

@@ -46,6 +46,7 @@ from ..geom.tribox import tri_box_overlap
 from ..mesh.scene import Scene
 from ..mesh.topology import Topology
 from .brute import _KERNELS
+from .common import finalize_hits
 
 __all__ = ["VoxelGrid", "build_voxel_grid", "shoot_grid"]
 
@@ -214,6 +215,11 @@ def shoot_grid(
     inf = jnp.asarray(jnp.inf, v0a.dtype)
 
     def one_ray(o, d, ex):
+        # Varying-zero seeds: under shard_map the loop carries must have the
+        # same "varying over mesh axis" type as the per-ray updates, so all
+        # inits derive from the (varying) ray inputs instead of constants.
+        vzero = jnp.sum(o) * 0.0
+        izero = vzero.astype(jnp.int32)
         # ---- clip to grid if outside (AABB advance, Voxel_Grid.cs:367-377)
         gmax = grid.grid_min + grid.voxel_size * dims.astype(v0a.dtype)
         inside = jnp.all((o >= grid.grid_min) & (o <= gmax))
@@ -280,22 +286,16 @@ def shoot_grid(
             off = (cell2[axis] < 0) | (cell2[axis] >= dims[axis])
             return (cell2, t_max2, best, steps + 1, found | off)
 
-        best0 = (inf, jnp.asarray(0.0, v0a.dtype), jnp.asarray(0.0, v0a.dtype), jnp.asarray(0, jnp.int32))
-        init = (cell, t_max, best0, jnp.asarray(0, jnp.int32), jnp.logical_not(valid_ray))
+        best0 = (inf + vzero, vzero, vzero, izero)
+        init = (cell, t_max, best0, izero, jnp.logical_not(valid_ray))
         _, _, best, _, _ = jax.lax.while_loop(cond, body, init)
         return best
 
+    # Traversal is reverse-AD-opaque (while_loop); gradients come from the
+    # differentiable re-evaluation in finalize_hits at fixed hit topology.
     best_t, best_u, best_v, best_tri = jax.vmap(one_ray)(
-        rays.origin, rays.direction, rays.exclude_poly
+        jax.lax.stop_gradient(rays.origin),
+        jax.lax.stop_gradient(rays.direction),
+        rays.exclude_poly,
     )
-    hit = jnp.isfinite(best_t)
-    point = rays.at(jnp.where(hit, best_t, 0.0))
-    return HitRecord(
-        hit=hit,
-        t=jnp.where(hit, best_t, jnp.inf),
-        u=jnp.where(hit, best_u, 0.0),
-        v=jnp.where(hit, best_v, 0.0),
-        point=jnp.where(hit[..., None], point, 0.0),
-        poly_id=jnp.where(hit, tri_poly[jnp.maximum(best_tri, 0)], NO_POLY).astype(jnp.int32),
-        tri_id=jnp.where(hit, best_tri, NO_POLY).astype(jnp.int32),
-    )
+    return finalize_hits(scene, rays, best_t, best_tri, ktest)

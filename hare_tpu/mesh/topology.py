@@ -93,15 +93,14 @@ class Topology:
         (``Hare_Geometry_Topology.cs:258-340``).
         """
         faces = [np.asarray(f, np.float64) for f in faces]
-        for f in faces:
-            if f.shape[0] not in (3, 4):
-                raise NotImplementedError(
-                    "polygons of more than 4 (or fewer than 3) sides are not "
-                    "supported (Hare_Geometry_Topology.cs:298)"
-                )
+        counts = np.fromiter((f.shape[0] for f in faces), np.int64, len(faces))
+        if len(counts) and not np.isin(counts, (3, 4)).all():
+            raise NotImplementedError(
+                "polygons of more than 4 (or fewer than 3) sides are not "
+                "supported (Hare_Geometry_Topology.cs:298)"
+            )
 
         # --- Weld: round then unique over all corners (AddGetIndex analog).
-        counts = np.array([f.shape[0] for f in faces])
         flat = _round_prec(np.concatenate(faces, axis=0), precision)
         vertices, inverse = np.unique(flat, axis=0, return_inverse=True)
         # np.unique sorts; keep first-appearance order like the reference's
@@ -112,49 +111,56 @@ class Topology:
         rank = np.empty_like(order)
         rank[order] = np.arange(len(order))
         vertices = vertices[order]
-        inverse = rank[inverse]
+        inverse = rank[inverse].astype(np.int32)
 
         offsets = np.concatenate([[0], np.cumsum(counts)])
-        poly_verts = [
-            inverse[offsets[i] : offsets[i + 1]].astype(np.int32)
-            for i in range(len(faces))
-        ]
+        poly_verts = np.split(inverse, offsets[1:-1])
 
-        # --- Per-polygon centroid / normal / area (Polygon ctor analog).
-        P = len(poly_verts)
-        poly_normal = np.zeros((P, 3))
-        poly_centroid = np.zeros((P, 3))
-        poly_area = np.zeros(P)
-        tri_v_list, tri_poly_list = [], []
-        for i, pv in enumerate(poly_verts):
-            pts = vertices[pv]
-            poly_centroid[i] = pts.mean(axis=0)
-            # First non-zero fan normal (Hare_Geometry_Polygons.cs:159-163).
-            n = np.zeros(3)
-            for j in range(2, len(pv)):
-                n = np.cross(pts[1] - pts[0], pts[j] - pts[0])
-                if np.dot(n, n) > 0:
-                    break
-            ln = np.linalg.norm(n)
-            poly_normal[i] = n / ln if ln > 0 else n
-            if len(pv) == 3:
-                tri_v_list.append(pv[[0, 1, 2]])
-                tri_poly_list.append(i)
-                poly_area[i] = 0.5 * np.linalg.norm(
-                    np.cross(pts[1] - pts[0], pts[2] - pts[0])
-                )
-            else:  # quad -> (0,1,2) + (2,3,0), Hare_Geometry_Polygons.cs:731-782
-                tri_v_list.append(pv[[0, 1, 2]])
-                tri_v_list.append(pv[[2, 3, 0]])
-                tri_poly_list += [i, i]
-                poly_area[i] = 0.5 * np.linalg.norm(
-                    np.cross(pts[1] - pts[0], pts[2] - pts[0])
-                ) + 0.5 * np.linalg.norm(np.cross(pts[3] - pts[2], pts[0] - pts[2]))
-        tri_v = np.asarray(tri_v_list, np.int32).reshape(-1, 3)
-        tri_poly = np.asarray(tri_poly_list, np.int32)
+        # --- Per-polygon centroid / normal / area (Polygon ctor analog),
+        # vectorized over a (P, 4) padded index table: tris repeat corner 0
+        # in slot 3 (never read where it matters).
+        P = len(faces)
+        is_quad = counts == 4
+        i0 = offsets[:-1]
+        pv = np.empty((P, 4), np.int32)
+        pv[:, 0] = inverse[i0]
+        pv[:, 1] = inverse[i0 + 1]
+        pv[:, 2] = inverse[i0 + 2]
+        pv[:, 3] = np.where(is_quad, inverse[np.minimum(i0 + 3, len(inverse) - 1)], pv[:, 0])
+        p0, p1, p2, p3 = (vertices[pv[:, k]] for k in range(4))
+
+        poly_centroid = (p0 + p1 + p2 + np.where(is_quad[:, None], p3, 0.0)) / counts[:, None]
+        # First non-zero fan normal (Hare_Geometry_Polygons.cs:159-163):
+        # fan (1,2); quads fall back to fan (1,3) if it vanishes.
+        n1 = np.cross(p1 - p0, p2 - p0)
+        n2 = np.cross(p1 - p0, p3 - p0)
+        use2 = (np.einsum("ij,ij->i", n1, n1) == 0.0) & is_quad
+        n = np.where(use2[:, None], n2, n1)
+        ln = np.linalg.norm(n, axis=1, keepdims=True)
+        poly_normal = np.where(ln > 0, n / np.where(ln > 0, ln, 1.0), 0.0)
+        area1 = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=1)
+        area2 = 0.5 * np.linalg.norm(np.cross(p3 - p2, p0 - p2), axis=1)
+        poly_area = area1 + np.where(is_quad, area2, 0.0)
+
+        # --- Triangulation: quads -> (0,1,2) + (2,3,0)
+        # (Hare_Geometry_Polygons.cs:731-782), in face order.
+        tri_per_poly = 1 + is_quad.astype(np.int64)
+        tri_poly = np.repeat(np.arange(P), tri_per_poly).astype(np.int32)
+        T = len(tri_poly)
+        t_start = np.concatenate([[0], np.cumsum(tri_per_poly)])[:-1]
+        tri_v = np.empty((T, 3), np.int32)
+        tri_v[t_start] = pv[:, :3]
+        tri_v[t_start[is_quad] + 1] = pv[is_quad][:, [2, 3, 0]]
+
+        def _group(keys, values, n_groups):
+            """Group values by small-int keys, preserving order: list of arrays."""
+            order = np.argsort(keys, kind="stable")
+            sk = keys[order]
+            bounds = np.searchsorted(sk, np.arange(1, n_groups))
+            return np.split(values[order], bounds)
 
         # --- Plane grouping by sign-normalized rounded (a,b,c,d).
-        a_d = -np.einsum("ij,ij->i", poly_normal, vertices[[pv[0] for pv in poly_verts]])
+        a_d = -np.einsum("ij,ij->i", poly_normal, p0)
         abcd = np.concatenate([poly_normal, a_d[:, None]], axis=1)
         flip = abcd[:, 3] < 0
         abcd[flip] *= -1.0
@@ -168,55 +174,64 @@ class Topology:
         rank[order] = np.arange(len(order))
         planes = planes[order]
         poly_plane = rank[plane_inv].astype(np.int32)
-        plane_members = [
-            np.nonzero(poly_plane == k)[0].astype(np.int32)
-            for k in range(len(planes))
-        ]
+        plane_members = _group(poly_plane, np.arange(P, dtype=np.int32), len(planes))
 
-        # --- Edges: canonical sorted pairs, unique; skip short edges.
-        e_pairs, e_poly = [], []
-        for i, pv in enumerate(poly_verts):
-            k = len(pv)
-            for p in range(k):
-                va, vb = pv[p], pv[(p + 1) % k]
-                if np.linalg.norm(vertices[va] - vertices[vb]) < MIN_EDGE_LEN:
-                    continue  # Hare_Geometry_Topology.cs:282
-                e_pairs.append((min(va, vb), max(va, vb)))
-                e_poly.append(i)
-        if e_pairs:
-            e_arr = np.asarray(e_pairs, np.int64)
-            edges, e_inv = np.unique(e_arr, axis=0, return_inverse=True)
+        # --- Edges: canonical pairs per face side, unique; skip short edges
+        # (Hare_Geometry_Topology.cs:282).  (P, 4, 2) padded side table; side
+        # 2 closes the triangle (2,0) or continues the quad (2,3); side 3
+        # exists only for quads.
+        sides = np.empty((P, 4, 2), np.int32)
+        sides[:, 0] = pv[:, [0, 1]]
+        sides[:, 1] = pv[:, [1, 2]]
+        sides[:, 2, 0] = pv[:, 2]
+        sides[:, 2, 1] = np.where(is_quad, pv[:, 3], pv[:, 0])
+        sides[:, 3] = pv[:, [3, 0]]
+        side_valid = np.ones((P, 4), bool)
+        side_valid[:, 3] = is_quad
+        inst_poly = np.repeat(np.arange(P, dtype=np.int32), 4)[side_valid.ravel()]
+        inst = sides.reshape(-1, 2)[side_valid.ravel()]
+        seg = vertices[inst[:, 0]] - vertices[inst[:, 1]]
+        keep = np.linalg.norm(seg, axis=1) >= MIN_EDGE_LEN
+        inst, inst_poly = inst[keep], inst_poly[keep]
+        canon = np.sort(inst, axis=1)
+        if len(canon):
+            edges, e_inv = np.unique(canon, axis=0, return_inverse=True)
+            firste = np.full(len(edges), len(canon), np.int64)
+            np.minimum.at(firste, e_inv, np.arange(len(canon)))
+            order = np.argsort(firste, kind="stable")
+            rank = np.empty_like(order)
+            rank[order] = np.arange(len(order))
+            edges = edges[order]
+            e_inv = rank[e_inv].astype(np.int32)
         else:
-            edges = np.zeros((0, 2), np.int64)
-            e_inv = np.zeros((0,), np.int64)
+            edges = np.zeros((0, 2), np.int32)
+            e_inv = np.zeros((0,), np.int32)
         E = len(edges)
-        edge_polys: List[List[int]] = [[] for _ in range(E)]
-        edge_ta: List[List[float]] = [[] for _ in range(E)]
-        edge_tl: List[List[float]] = [[] for _ in range(E)]
-        edge_tan: List[List[np.ndarray]] = [[] for _ in range(E)]
-        poly_edges: List[List[int]] = [[] for _ in range(P)]
-        for eid, pid in zip(e_inv, e_poly):
-            a, b = vertices[edges[eid][0]], vertices[edges[eid][1]]
-            c = poly_centroid[pid]
-            # Edge.Append_Poly_Relationship (Hare_Geometry_Primitives.cs:288-299)
-            edge_polys[eid].append(pid)
-            edge_ta[eid].append(0.5 * np.linalg.norm(np.cross(b - a, c - a)))
-            ab = b - a
-            t = np.dot(c - a, ab) / np.dot(ab, ab)
-            closest = a + t * ab
-            tan = c - closest
-            tl = np.linalg.norm(tan)
-            edge_tl[eid].append(tl)
-            edge_tan[eid].append(tan / tl if tl > 0 else tan)
-            poly_edges[pid].append(eid)
 
-        # --- Vertex adjacency + normals (Finish_Topology analog).
-        vertex_polys: List[List[int]] = [[] for _ in range(len(vertices))]
+        # Edge.Append_Poly_Relationship quantities, vectorized per instance
+        # (Hare_Geometry_Primitives.cs:288-299).
+        a = vertices[edges[e_inv, 0]] if len(e_inv) else np.zeros((0, 3))
+        b = vertices[edges[e_inv, 1]] if len(e_inv) else np.zeros((0, 3))
+        c = poly_centroid[inst_poly]
+        ta = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+        ab = b - a
+        tproj = np.einsum("ij,ij->i", c - a, ab) / np.einsum("ij,ij->i", ab, ab)
+        tan = c - (a + tproj[:, None] * ab)
+        tl = np.linalg.norm(tan, axis=1)
+        tanu = np.where(tl[:, None] > 0, tan / np.where(tl[:, None] > 0, tl[:, None], 1), tan)
+
+        edge_polys = _group(e_inv, inst_poly, E)
+        edge_ta = _group(e_inv, ta, E)
+        edge_tl = _group(e_inv, tl, E)
+        edge_tan = _group(e_inv, tanu, E)
+        poly_edges = _group(inst_poly, e_inv, P)
+
+        # --- Vertex adjacency + normals (Finish_Topology analog): one unit
+        # polygon normal added per vertex occurrence, then normalized.
+        corner_poly = np.repeat(np.arange(P, dtype=np.int32), counts)
+        vertex_polys = _group(inverse, corner_poly, len(vertices))
         vertex_normals = np.zeros_like(vertices)
-        for i, pv in enumerate(poly_verts):
-            for vid in pv:
-                vertex_polys[vid].append(i)
-                vertex_normals[vid] += poly_normal[i]
+        np.add.at(vertex_normals, inverse, poly_normal[corner_poly])
         ln = np.linalg.norm(vertex_normals, axis=1, keepdims=True)
         vertex_normals = np.where(ln > 0, vertex_normals / np.where(ln > 0, ln, 1), 0.0)
 
@@ -230,12 +245,12 @@ class Topology:
             plane_members=plane_members,
             planes=planes,
             edges=edges.astype(np.int32),
-            edge_polys=[np.asarray(x, np.int32) for x in edge_polys],
-            edge_tributary_area=[np.asarray(x) for x in edge_ta],
-            edge_tributary_length=[np.asarray(x) for x in edge_tl],
-            edge_tangents=[np.asarray(x) for x in edge_tan],
-            poly_edges=[np.asarray(x, np.int32) for x in poly_edges],
-            vertex_polys=[np.asarray(x, np.int32) for x in vertex_polys],
+            edge_polys=edge_polys,
+            edge_tributary_area=edge_ta,
+            edge_tributary_length=edge_tl,
+            edge_tangents=edge_tan,
+            poly_edges=poly_edges,
+            vertex_polys=vertex_polys,
             poly_normal=poly_normal,
             poly_centroid=poly_centroid,
             poly_area=poly_area,

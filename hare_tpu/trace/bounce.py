@@ -83,13 +83,17 @@ def trace_rays(
         dist: jnp.ndarray
         alive: jnp.ndarray
 
+    # Varying-zero seed: under shard_map the scan carries must carry the same
+    # "varying over mesh axis" type as the per-ray updates, so the constant
+    # inits are derived from the (possibly varying) ray batch.
+    vzero = jnp.sum(rays.origin, axis=-1) * 0.0
     init = _S(
         origin=rays.origin,
         direction=d0,
         exclude=rays.exclude_poly,
-        energy=jnp.ones(n, rays.origin.dtype),
-        dist=jnp.zeros(n, rays.origin.dtype),
-        alive=jnp.ones(n, bool),
+        energy=1.0 + vzero,
+        dist=vzero,
+        alive=vzero < 1.0,
     )
 
     def body(s: _S, _):

@@ -1,0 +1,75 @@
+"""Sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4 item 5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from hare_tpu.geom import Ray
+from hare_tpu.accel import SpatialPartition
+from hare_tpu.dist import make_ray_mesh, make_train_step, sharded_histogram
+from hare_tpu.mesh import Topology, shapes
+from hare_tpu.trace import energy_histogram, trace_rays, uniform_sphere
+
+
+def setup(n_rays=256):
+    top = Topology.build(shapes.shoebox(4, 5, 3))
+    sp = SpatialPartition(top, accel="grid", domain=4)
+    a = jnp.asarray(
+        np.random.default_rng(0).uniform(0.1, 0.5, top.n_polys), jnp.float32
+    )
+    d = uniform_sphere(jax.random.PRNGKey(0), n_rays)
+    o = jnp.tile(jnp.array([2.0, 2.5, 1.5], jnp.float32), (n_rays, 1))
+    return top, sp, a, Ray.make(o, d)
+
+
+def test_eight_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single():
+    """Sharded histogram == single-device histogram (bitwise-determinism
+    analog of the reference-absent race tests, SURVEY.md §5)."""
+    top, sp, a, rays = setup()
+    mesh = make_ray_mesh(8)
+    fn = sharded_histogram(mesh, sp.shoot_fn, n_bounces=3, n_bins=256)
+    h_sharded = np.asarray(fn(sp.scene, rays, a))
+    res = trace_rays(sp.scene, rays, a, 3, sp.shoot_fn)
+    h_single = np.asarray(energy_histogram(res, 256, 1e-3))
+    np.testing.assert_allclose(h_sharded, h_single, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_grad_matches_single():
+    top, sp, a, rays = setup()
+    mesh = make_ray_mesh(8)
+    fn = sharded_histogram(mesh, sp.shoot_fn, n_bounces=3, n_bins=256)
+
+    def loss_sharded(a_):
+        return jnp.sum(fn(sp.scene, rays, a_) ** 2)
+
+    def loss_single(a_):
+        res = trace_rays(sp.scene, rays, a_, 3, sp.shoot_fn)
+        return jnp.sum(energy_histogram(res, 256, 1e-3) ** 2)
+
+    gs = np.asarray(jax.grad(loss_sharded)(a))
+    g1 = np.asarray(jax.grad(loss_single)(a))
+    np.testing.assert_allclose(gs, g1, rtol=1e-4, atol=1e-5)
+
+
+def test_train_step_descends():
+    """Full sharded inverse-design step: loss decreases over iterations."""
+    top, sp, a_true, rays = setup(n_rays=512)
+    mesh = make_ray_mesh(8)
+    # Target histogram from the true absorption.
+    fn = sharded_histogram(mesh, sp.shoot_fn, n_bounces=3, n_bins=128)
+    target = fn(sp.scene, rays, a_true)
+
+    opt = optax.adam(0.1)
+    step = make_train_step(mesh, sp.shoot_fn, opt, n_bounces=3, n_bins=128)
+    params = {"absorption": jnp.zeros(top.n_polys)}  # sigmoid -> 0.5 start
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(20):
+        params, opt_state, loss = step(params, opt_state, sp.scene, rays, target)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.1, losses
