@@ -44,21 +44,24 @@ def main():
 
     shoot_fn = sp.shoot_fn
 
-    def loss(a_, rays_):
-        res = trace_rays(sp.scene, rays_, a_, n_bounces, shoot_fn)
+    # NB: scene and aux are ARGUMENTS, never closures — closed-over device
+    # arrays become embedded jit constants and destroy compile/step time.
+    def loss(scene, a_, rays_, aux):
+        res = trace_rays(scene, rays_, a_, n_bounces, shoot_fn, aux=aux)
         return jnp.sum(energy_histogram(res, 1024, 1e-3))
 
-    fwd_bwd = jax.jit(jax.value_and_grad(loss))
+    fwd_bwd = jax.jit(jax.value_and_grad(loss, argnums=1))
 
-    # Warmup/compile
-    v, g = fwd_bwd(a, rays)
-    jax.block_until_ready((v, g))
+    # Warmup/compile.  NB: block_until_ready is unreliable over the axon
+    # tunnel (returns before execution completes) — sync via a scalar pull.
+    v, g = fwd_bwd(sp.scene, a, rays, sp.aux)
+    _ = float(v) + float(jnp.sum(g))
 
-    iters = 5
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        v, g = fwd_bwd(a, rays)
-    jax.block_until_ready((v, g))
+        v, g = fwd_bwd(sp.scene, a, rays, sp.aux)
+    _ = float(v) + float(jnp.sum(g))  # one sync for the whole queue
     dt = (time.perf_counter() - t0) / iters
 
     total_rays = n_rays * n_bounces  # each bounce is a full shoot

@@ -58,16 +58,18 @@ class SpatialPartition:
             e = np.linalg.norm(tri - np.roll(tri, 1, axis=1), axis=2)
             self.char_step = float(e[e > 0].min()) if (e > 0).any() else 1.0
         elif accel == "grid":
-            self.struct = build_voxel_grid(self.scene, **params)
+            # Build from host-side topologies: extracting triangles back off
+            # the device Scene costs a full device->host transfer.
+            self.struct = build_voxel_grid(self.model, **params)
             self._shoot = partial(shoot_grid, grid=self.struct, kernel=kernel)
             self.char_step = self.struct.char_step
         elif accel == "octree":
-            self.struct = build_octree(self.scene, **params)
+            self.struct = build_octree(self.model, **params)
             self._shoot = partial(shoot_octree, tree=self.struct, kernel=kernel)
             ext = np.asarray(self.struct.node_max[0] - self.struct.node_min[0])
             self.char_step = float(ext.min()) / (2 ** self.struct.max_depth)
         elif accel == "kdtree":
-            self.struct = build_kdtree(self.scene, **params)
+            self.struct = build_kdtree(self.model, **params)
             self._shoot = partial(shoot_kdtree, tree=self.struct, kernel=kernel)
             ext = np.asarray(self.struct.root_max - self.struct.root_min)
             self.char_step = float(ext.min()) / (2 ** min(self.struct.max_depth, 16))
@@ -80,6 +82,29 @@ class SpatialPartition:
         return self._shoot(self.scene, rays, top_index=top_index)
 
     @property
-    def shoot_fn(self) -> Callable[[Scene, Ray], HitRecord]:
-        """``(scene, rays) -> HitRecord`` for trace_rays composition."""
-        return lambda scene, rays: self._shoot(scene, rays)
+    def aux(self):
+        """The accel-structure pytree — pass as ``trace_rays(..., aux=...)``
+        so it enters jit as a traced argument, not an embedded constant."""
+        return self.struct
+
+    @property
+    def shoot_fn(self) -> Callable[..., HitRecord]:
+        """``(scene, rays[, aux]) -> HitRecord`` for trace_rays composition.
+
+        When ``aux`` is supplied it is used as the accel structure; without
+        it the constructor-bound structure is closed over (fine for tiny
+        scenes, but see trace_rays docs — big closed-over structures become
+        jit constants and destroy compile/step time).
+        """
+        if self.accel_name == "brute":
+            return lambda scene, rays, aux=None: self._shoot(scene, rays)
+        raw = {
+            "grid": shoot_grid,
+            "octree": shoot_octree,
+            "kdtree": shoot_kdtree,
+        }[self.accel_name]
+        kernel = self.kernel
+        struct = self.struct
+        return lambda scene, rays, aux=None: raw(
+            scene, rays, aux if aux is not None else struct, kernel=kernel
+        )

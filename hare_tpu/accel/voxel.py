@@ -1,7 +1,9 @@
 """Uniform voxel grid with 3-D DDA traversal (the primary accel structure).
 
 TPU-native rebuild of ``Voxel_Grid`` (``Voxel_Grid.cs:27-792``, "concept
-based on Amanatides" — Amanatides & Woo 1987):
+based on Amanatides" — Amanatides & Woo 1987) plus the empty-space-skip idea
+of ``Voxel_Grid_Adaptive`` (``Voxel_Grid - alt.cs``), redesigned for the
+memory system of a TPU:
 
 Build (host, vectorized NumPy — replaces the thread-per-core fill with
 100 ms sleep-join polling, ``Voxel_Grid.cs:92-120``):
@@ -10,24 +12,33 @@ Build (host, vectorized NumPy — replaces the thread-per-core fill with
     average triangle count per *occupied* voxel drops below ``avg_polys`` or
     ``max_doublings`` is reached (``:128-254``).
   - membership by the same SAT triangle/box test (``AABB_Tri_Int.cs``) with
-    the reference's 0.1% voxel padding (``Voxel_Grid.cs:283-285``), stored as
-    CSR: ``cell_start[nx*ny*nz + 1]`` + ``cell_tris[total]``.
+    the reference's 0.1% voxel padding (``Voxel_Grid.cs:283-285``).
+  - layout: CSR offsets + **instance-major geometry** — every (cell,
+    triangle) instance stores its [v0 | e1 | e2] Möller–Trumbore operands
+    contiguously in cell order, so a traversal step gathers W consecutive
+    288-byte rows per ray instead of W scattered 12-byte vertex rows
+    (scattered row gathers are the difference between ~1.5 ms and ~µs steps
+    on TPU).
+  - a chebyshev **distance field** over cells (the principled version of the
+    reference's six ``UInt16`` directional step tables,
+    ``Voxel_Grid - alt.cs:44, 242-251``, whose skip arithmetic SURVEY.md
+    flags as dubious): ``dist[c]`` = chebyshev distance to the nearest
+    occupied cell, capped.
 
-Traversal (device, ``lax.while_loop`` under vmap — later a Pallas kernel):
-  - locate the origin voxel (``:355-359``); rays starting outside the grid
-    are advanced to the slab entry point + epsilon nudge (``:367-377``).
-  - per-axis ``step/t_max/t_delta`` DDA state (``:379-422``).
-  - march: test every triangle in the cell (min-t reduction makes duplicate
-    tests across cells idempotent — this replaces the reference's mailboxing
-    machinery, ``:29-32, 334-343, 478-480``, whose global ``assign_id()``
-    lock would serialize everything); accept a hit only if it lies before
-    the next cell boundary (the "hit point inside the current voxel" rule,
-    ``:496-499``, expressed in t rather than by re-testing the point);
-    otherwise advance the smallest ``t_max`` axis and exit on grid departure
-    (``:504-551``).
+Traversal (device): ALL rays march in lockstep inside one
+``lax.while_loop`` — no vmapped scalar loops.  Each iteration either tests a
+W-triangle window of the current cell (one contiguous block gather + one
+fused elementwise MT over the whole batch) or advances the DDA; empty
+regions are crossed in a single parametric jump of ``(dist-1)`` cells
+(restarting the DDA at the jumped position).  Mailboxing is dropped: min-t
+reduction makes duplicate tests idempotent (vs ``Voxel_Grid.cs:29-32,
+334-343, 478-480``, whose global ``assign_id()`` lock would serialize all
+rays).  A hit is accepted only before the next cell boundary (the "hit
+point inside the current voxel" rule, ``:496-499``, in t-form).
 
 Unlike the reference's grid fast path (t-only, returns ``u=v=0``,
-``:481-498``), real barycentrics are always returned.
+``:481-498``), real barycentrics are always returned (recomputed
+differentiably in ``finalize_hits`` at the fixed hit triangle).
 """
 
 from __future__ import annotations
@@ -40,8 +51,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..geom.intersect import MIN_T, ray_aabb, ray_triangle_mt, ray_triangle_watertight
-from ..geom.primitives import NO_POLY, HitRecord, Ray
+from ..geom.intersect import MIN_T, ray_aabb
+from ..geom.primitives import HitRecord, Ray
 from ..geom.tribox import tri_box_overlap
 from ..mesh.scene import Scene
 from ..mesh.topology import Topology
@@ -55,24 +66,42 @@ FILL_PAD = 1.001
 # Epsilon nudge (in units of char_step) applied when clipping an outside ray
 # to the grid entry (Voxel_Grid.cs:367-377 uses 1e-6 absolute; we scale).
 ENTRY_EPS = 1e-4
+# Distance-field cap (cells); larger empty regions are crossed in several hops.
+DIST_CAP = 15
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=("cell_start", "cell_tris", "grid_min", "voxel_size"),
+    data_fields=(
+        "cell_start",
+        "cell_tris",
+        "grid_min",
+        "voxel_size",
+        "inst_geom",
+        "inst_tri",
+        "inst_poly",
+        "inst_top",
+        "dist_field",
+    ),
     meta_fields=("dims", "char_step", "max_cell_tris"),
 )
 @dataclasses.dataclass(frozen=True)
 class VoxelGrid:
-    """Device CSR voxel grid.  ``dims`` etc. are static (compile-time)."""
+    """Device voxel grid: CSR offsets + instance-major geometry + distance
+    field.  ``dims``/``char_step``/``max_cell_tris`` are static."""
 
-    cell_start: jnp.ndarray  # (nx*ny*nz + 1,) i32
-    cell_tris: jnp.ndarray  # (total,) i32 triangle ids
+    cell_start: jnp.ndarray  # (nx*ny*nz + 1,) i32 CSR offsets
+    cell_tris: jnp.ndarray  # (total,) i32 triangle ids (cell-major order)
     grid_min: jnp.ndarray  # (3,) f32
     voxel_size: jnp.ndarray  # (3,) f32
+    inst_geom: jnp.ndarray  # (total + pad, 9) f32 [v0|e1|e2] per instance
+    inst_tri: jnp.ndarray  # (total + pad,) i32 (= cell_tris padded with -1)
+    inst_poly: jnp.ndarray  # (total + pad,) i32
+    inst_top: jnp.ndarray  # (total + pad,) i32
+    dist_field: jnp.ndarray  # (nx*ny*nz,) i32 chebyshev dist to occupied
     dims: Tuple[int, int, int]
     char_step: float  # min voxel dimension (Spatial_Partition.Char_Step)
-    max_cell_tris: int  # max triangles in any one cell (loop bound)
+    max_cell_tris: int  # max triangles in any one cell
 
     @property
     def n_cells(self) -> int:
@@ -93,8 +122,12 @@ def _fill(
     nx, ny, nz = dims
     lo = tri.min(axis=1)  # (T, 3)
     hi = tri.max(axis=1)
-    i_lo = np.clip(np.floor((lo - gmin) / vox - 1e-9).astype(np.int64), 0, np.array(dims) - 1)
-    i_hi = np.clip(np.floor((hi - gmin) / vox + 1e-9).astype(np.int64), 0, np.array(dims) - 1)
+    i_lo = np.clip(
+        np.floor((lo - gmin) / vox - 1e-9).astype(np.int64), 0, np.array(dims) - 1
+    )
+    i_hi = np.clip(
+        np.floor((hi - gmin) / vox + 1e-9).astype(np.int64), 0, np.array(dims) - 1
+    )
     counts = np.prod(i_hi - i_lo + 1, axis=1)
     total = int(counts.sum())
     if total == 0:
@@ -129,6 +162,29 @@ def _fill(
     return cell_start, tri_ids.astype(np.int32)
 
 
+def _chebyshev_distance(occ: np.ndarray, cap: int = DIST_CAP) -> np.ndarray:
+    """Chebyshev distance-to-occupied over a 3-D bool grid, capped.
+
+    Iterative 3^3 min-erosion: converges in ``cap`` sweeps.  This replaces
+    the reference's six directional ``UInt16`` step tables
+    (``Voxel_Grid - alt.cs:44``) with one isotropic field whose skip rule is
+    provably safe: from anywhere inside a cell with dist D, the ray crosses
+    at least D-1 more cell boundaries before it can enter an occupied cell.
+    """
+    nx, ny, nz = occ.shape
+    dist = np.where(occ, 0, cap).astype(np.int32)
+    for _ in range(cap):
+        m = dist.copy()
+        # 6-neighbour + diagonal erosion via padded min-shift (27-stencil).
+        p = np.pad(dist, 1, constant_values=cap)
+        view = np.lib.stride_tricks.sliding_window_view(p, (3, 3, 3))
+        m = np.minimum(m, view.min(axis=(3, 4, 5)) + 1)
+        if np.array_equal(m, dist):
+            break
+        dist = m
+    return np.minimum(dist, cap)
+
+
 def build_voxel_grid(
     source: Union[Topology, Sequence[Topology], Scene],
     domain: Optional[int] = None,
@@ -141,21 +197,28 @@ def build_voxel_grid(
     mean triangles per occupied voxel < ``avg_polys`` or ``max_doublings``
     (``:128-254``)."""
     if isinstance(source, Scene):
-        tri = np.asarray(
-            jnp.stack(source.tri_vertices(), axis=1), np.float64
-        )  # includes padding tris (degenerate at origin) — drop them
+        # NB: pulls arrays off the device — prefer the Topology path.
         real = np.asarray(source.tri_poly) != -2
-        tri = tri[real]
-        # NB: cell_tris then indexes into the *unpadded* prefix, which matches
-        # scene triangle ids because padding is always appended at the end.
+        tri = np.asarray(jnp.stack(source.tri_vertices(), axis=1), np.float64)[real]
+        tri_poly = np.asarray(source.tri_poly)[real]
+        tri_top = np.asarray(source.tri_top)[real]
+        # cell_tris indexes the unpadded prefix == scene triangle ids
+        # (padding is always appended at the end).
     elif isinstance(source, Topology):
         tri = source.vertices[source.tri_v]
+        tri_poly = source.tri_poly
+        tri_top = np.zeros(len(tri), np.int32)
     else:
-        offs, parts = 0, []
-        for t in source:
+        parts, pp, tt = [], [], []
+        p_off = 0
+        for ti, t in enumerate(source):
             parts.append(t.vertices[t.tri_v])
-            offs += t.n_vertices
+            pp.append(t.tri_poly + p_off)  # same offsets as build_scene
+            tt.append(np.full(t.n_tris, ti, np.int32))
+            p_off += t.n_polys
         tri = np.concatenate(parts, axis=0)
+        tri_poly = np.concatenate(pp)
+        tri_top = np.concatenate(tt)
 
     gmin = tri.reshape(-1, 3).min(axis=0) - pad
     gmax = tri.reshape(-1, 3).max(axis=0) + pad
@@ -181,18 +244,44 @@ def build_voxel_grid(
         vox = extent / np.array(dims)
 
     counts = np.diff(cell_start)
+
+    # ---- instance-major geometry in CSR (cell-major) order, padded so a
+    # full W-window gather starting at any valid instance stays in bounds.
+    PADW = 64
+    total = len(cell_tris)
+    g = tri[cell_tris] if total else np.zeros((0, 3, 3))
+    v0 = g[:, 0, :]
+    inst_geom = np.zeros((total + PADW, 9), np.float32)
+    if total:
+        inst_geom[:total] = np.concatenate(
+            [v0, g[:, 1, :] - v0, g[:, 2, :] - v0], axis=-1
+        )
+    inst_tri = np.full(total + PADW, -1, np.int32)
+    inst_tri[:total] = cell_tris
+    inst_poly = np.full(total + PADW, -2, np.int32)
+    inst_poly[:total] = tri_poly[cell_tris] if total else 0
+    inst_top = np.full(total + PADW, -1, np.int32)
+    inst_top[:total] = tri_top[cell_tris] if total else 0
+
+    dist = _chebyshev_distance((counts > 0).reshape(dims))
+
     return VoxelGrid(
         cell_start=jnp.asarray(cell_start),
         cell_tris=jnp.asarray(cell_tris),
         grid_min=jnp.asarray(gmin, jnp.float32),
         voxel_size=jnp.asarray(vox, jnp.float32),
+        inst_geom=jnp.asarray(inst_geom),
+        inst_tri=jnp.asarray(inst_tri),
+        inst_poly=jnp.asarray(inst_poly),
+        inst_top=jnp.asarray(inst_top),
+        dist_field=jnp.asarray(dist.ravel()),
         dims=tuple(int(d) for d in dims),
         char_step=float(vox.min()),
         max_cell_tris=int(counts.max()) if len(counts) else 0,
     )
 
 
-@partial(jax.jit, static_argnames=("kernel", "top_index", "chunk"))
+@partial(jax.jit, static_argnames=("kernel", "top_index", "window"))
 def shoot_grid(
     scene: Scene,
     rays: Ray,
@@ -200,102 +289,153 @@ def shoot_grid(
     kernel: str = "mt",
     min_t: float = MIN_T,
     top_index: Optional[int] = None,
-    chunk: int = 8,
+    window: int = 8,
 ) -> HitRecord:
-    """Nearest-hit query via 3-D DDA grid marching.  vmapped over rays."""
+    """Nearest-hit query via batch-lockstep 3-D DDA with empty-space skip.
+
+    See the module docstring for the traversal design.  ``window`` (W) is
+    the number of contiguous candidate instances tested per iteration.
+    """
     ktest = _KERNELS[kernel]
     nx, ny, nz = grid.dims
     dims = jnp.array(grid.dims, jnp.int32)
-    n_steps_max = nx + ny + nz + 3
-    n_chunks_max = max(1, -(-grid.max_cell_tris // chunk))
+    W = int(window)
+    chunks_bound = max(1, -(-max(grid.max_cell_tris, 1) // W))
+    n_steps_max = (nx + ny + nz + 3) + chunks_bound * (nx + ny + nz + 3)
 
-    v0a, v1a, v2a = scene.tri_vertices()
-    tri_poly = scene.tri_poly
-    tri_top = scene.tri_top
-    inf = jnp.asarray(jnp.inf, v0a.dtype)
+    dtype = grid.inst_geom.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
 
-    def one_ray(o, d, ex):
-        # Varying-zero seeds: under shard_map the loop carries must have the
-        # same "varying over mesh axis" type as the per-ray updates, so all
-        # inits derive from the (varying) ray inputs instead of constants.
-        vzero = jnp.sum(o) * 0.0
-        izero = vzero.astype(jnp.int32)
-        # ---- clip to grid if outside (AABB advance, Voxel_Grid.cs:367-377)
-        gmax = grid.grid_min + grid.voxel_size * dims.astype(v0a.dtype)
-        inside = jnp.all((o >= grid.grid_min) & (o <= gmax))
-        bhit, t_near, _ = ray_aabb(o, d, grid.grid_min, gmax)
-        t0 = jnp.where(
-            inside, 0.0, jnp.where(bhit, jnp.maximum(t_near, 0.0) + ENTRY_EPS * grid.char_step, inf)
-        )
-        o_adv = o + t0 * d
-        valid_ray = jnp.isfinite(t0)
+    o = jax.lax.stop_gradient(rays.origin)  # (N, 3)
+    d = jax.lax.stop_gradient(rays.direction)
+    ex = rays.exclude_poly  # (N, 2)
+    N = o.shape[0]
 
-        # ---- DDA setup (Voxel_Grid.cs:379-422)
+    # ---- clip to grid if outside (AABB advance, Voxel_Grid.cs:367-377)
+    gmax = grid.grid_min + grid.voxel_size * dims.astype(dtype)
+    inside = jnp.all((o >= grid.grid_min) & (o <= gmax), axis=-1)
+    bhit, t_near, _ = ray_aabb(o, d, grid.grid_min, gmax)
+    t0 = jnp.where(
+        inside,
+        0.0,
+        jnp.where(bhit, jnp.maximum(t_near, 0.0) + ENTRY_EPS * grid.char_step, inf),
+    )
+    o_adv = o + t0[:, None] * d
+    valid_ray = jnp.isfinite(t0)
+
+    # ---- DDA setup (Voxel_Grid.cs:379-422), batched (N, 3)
+    safe_d = jnp.where(d == 0, 1.0, d)
+    step = jnp.where(d > 0, 1, jnp.where(d < 0, -1, 0)).astype(jnp.int32)
+    t_delta = jnp.where(d == 0, inf, grid.voxel_size / jnp.abs(safe_d))
+    min_delta = jnp.min(t_delta, axis=1)  # (N,) for the skip jump
+
+    def locate(t_at):
+        """Cell indices + per-axis t_max for the position at parameter t."""
+        pos = o + t_at[:, None] * d
         cell = jnp.clip(
-            jnp.floor((o_adv - grid.grid_min) / grid.voxel_size).astype(jnp.int32),
+            jnp.floor((pos - grid.grid_min) / grid.voxel_size).astype(jnp.int32),
             0,
             dims - 1,
         )
-        step = jnp.where(d > 0, 1, jnp.where(d < 0, -1, 0)).astype(jnp.int32)
-        # Parallel axes: t_max/t_delta = +inf so they never advance.
-        safe_d = jnp.where(d == 0, 1.0, d)
-        next_bound = grid.grid_min + (cell + jnp.where(d > 0, 1, 0)) * grid.voxel_size
-        t_max = jnp.where(d == 0, inf, (next_bound - o) / safe_d)
-        t_delta = jnp.where(d == 0, inf, grid.voxel_size / jnp.abs(safe_d))
+        nxt = grid.grid_min + (cell + (d > 0)) * grid.voxel_size
+        t_max = jnp.where(d == 0, inf, (nxt - o) / safe_d)
+        return cell, t_max
 
-        def cell_tests(cell, best):
-            """Test all triangles in `cell`, chunked; min-t reduction."""
-            lin = (cell[0] * ny + cell[1]) * nz + cell[2]
-            start = grid.cell_start[lin]
-            end = grid.cell_start[lin + 1]
+    cell0, t_max0 = locate(t0)
 
-            def chunk_body(ci, best):
-                base = start + ci * chunk
-                idx_in = base + jnp.arange(chunk, dtype=jnp.int32)
-                m = idx_in < end
-                tid = grid.cell_tris[jnp.where(m, idx_in, 0)]
-                valid, t, u, v = ktest(o, d, v0a[tid], v1a[tid], v2a[tid])
-                tp = tri_poly[tid]
-                acc = m & valid & (t > min_t) & (tp != ex[0]) & (tp != ex[1])
-                if top_index is not None:
-                    acc &= tri_top[tid] == top_index
-                t = jnp.where(acc, t, inf)
-                j = jnp.argmin(t)
-                cand = (t[j], u[j], v[j], tid[j])
-                better = cand[0] < best[0]
-                return tuple(jnp.where(better, c, b) for c, b in zip(cand, best))
+    def cond(c):
+        _, _, _, best_t, _, done, steps = c
+        return jnp.logical_not(jnp.all(done)) & (steps < n_steps_max)
 
-            n_chunks = jnp.maximum(0, -(-(end - start) // chunk))
-            return jax.lax.fori_loop(
-                0, jnp.minimum(n_chunks, n_chunks_max), chunk_body, best
-            )
+    def body(c):
+        cell, t_max, chunk, best_t, best_tri, done, steps = c
+        lin = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]  # (N,)
+        start = grid.cell_start[lin]
+        end = grid.cell_start[lin + 1]
 
-        def cond(c):
-            cell, t_max_c, best, steps, done = c
-            return jnp.logical_not(done) & (steps < n_steps_max)
+        # ---- test a W-wide contiguous instance window of the current cell.
+        base = start + chunk * W
+        rows = jnp.minimum(base, grid.inst_geom.shape[0] - W)
+        # (N, W, 9) gather of W consecutive rows per ray: index arithmetic
+        # keeps rows contiguous so the gather is W x 36B blocks, not scattered.
+        idx = rows[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+        gwin = grid.inst_geom[idx]  # (N, W, 9)
+        tid = grid.inst_tri[idx]
+        tp = grid.inst_poly[idx]
+        m = (idx >= start[:, None]) & (idx < end[:, None])
+        v0 = gwin[..., 0:3]
+        v1 = v0 + gwin[..., 3:6]
+        v2 = v0 + gwin[..., 6:9]
+        valid, t, _, _ = ktest(o[:, None, :], d[:, None, :], v0, v1, v2)
+        acc = (
+            m
+            & valid
+            & (t > min_t)
+            & (tp != ex[:, 0:1])
+            & (tp != ex[:, 1:2])
+            & ~done[:, None]
+        )
+        if top_index is not None:
+            acc &= grid.inst_top[idx] == top_index
+        t = jnp.where(acc, t, inf)
+        j = jnp.argmin(t, axis=1)
+        t_min = jnp.take_along_axis(t, j[:, None], 1)[:, 0]
+        tri_min = jnp.take_along_axis(tid, j[:, None], 1)[:, 0]
+        better = t_min < best_t
+        best_t = jnp.where(better, t_min, best_t)
+        best_tri = jnp.where(better, tri_min, best_tri)
 
-        def body(c):
-            cell, t_max_c, best, steps, done = c
-            best = cell_tests(cell, best)
-            t_exit = jnp.min(t_max_c)
-            # Accept only hits within this cell (t <= exit boundary + eps)
-            found = best[0] <= t_exit + 1e-6 * (1.0 + t_exit)
-            axis = jnp.argmin(t_max_c)
-            cell2 = cell.at[axis].add(step[axis])
-            t_max2 = t_max_c.at[axis].add(t_delta[axis])
-            off = (cell2[axis] < 0) | (cell2[axis] >= dims[axis])
-            return (cell2, t_max2, best, steps + 1, found | off)
+        # ---- more windows in this cell?  Stay; else advance the DDA.
+        more = (base + W < end) & ~done
+        t_exit = jnp.min(t_max, axis=1)
+        found = best_t <= t_exit + 1e-6 * (1.0 + t_exit)
 
-        best0 = (inf + vzero, vzero, vzero, izero)
-        init = (cell, t_max, best0, izero, jnp.logical_not(valid_ray))
-        _, _, best, _, _ = jax.lax.while_loop(cond, body, init)
-        return best
+        # Normal single step along the smallest t_max axis.
+        axis = jnp.argmin(t_max, axis=1)
+        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+        cell_n = cell + onehot * step
+        t_max_n = t_max + onehot.astype(dtype) * t_delta
+        moved_ax = jnp.take_along_axis(cell_n, axis[:, None], 1)[:, 0]
+        off_n = (moved_ax < 0) | (moved_ax >= dims[axis])
 
-    # Traversal is reverse-AD-opaque (while_loop); gradients come from the
-    # differentiable re-evaluation in finalize_hits at fixed hit topology.
-    best_t, best_u, best_v, best_tri = jax.vmap(one_ray)(
-        jax.lax.stop_gradient(rays.origin),
-        jax.lax.stop_gradient(rays.direction),
-        rays.exclude_poly,
+        # Empty-space skip: dist D >= 2 allows a parametric jump past D-1
+        # boundary crossings, restarting the DDA at the jumped position.
+        D = grid.dist_field[lin]
+        do_jump = (D >= 2) & ~done
+        t_jump = t_exit + (D.astype(dtype) - 1.0) * min_delta
+        cell_j, t_max_j = locate(t_jump + 1e-4 * min_delta)
+        pos_j = o + t_jump[:, None] * d
+        off_j = jnp.any((pos_j < grid.grid_min) | (pos_j > gmax), axis=-1)
+
+        advance = ~more & ~done
+        cell = jnp.where(
+            (advance & do_jump)[:, None],
+            cell_j,
+            jnp.where(advance[:, None], cell_n, cell),
+        )
+        t_max = jnp.where(
+            (advance & do_jump)[:, None],
+            t_max_j,
+            jnp.where(advance[:, None], t_max_n, t_max),
+        )
+        off = jnp.where(do_jump, off_j, off_n) & advance
+        chunk = jnp.where(more, chunk + 1, 0)
+        done = done | (found & ~more) | off
+        return (cell, t_max, chunk, best_t, best_tri, done, steps + 1)
+
+    # Varying-zero seeds: under shard_map the carries must have the same
+    # "varying over mesh axis" type as the per-ray updates.
+    vzero = jnp.sum(o, axis=-1) * 0.0  # (N,)
+    izero_v = vzero.astype(jnp.int32)
+    izero = jnp.sum(izero_v)
+    init = (
+        cell0,
+        t_max0,
+        izero_v,
+        jnp.full((N,), jnp.inf, dtype) + vzero,
+        jnp.full((N,), -1, jnp.int32) + izero_v,
+        jnp.logical_not(valid_ray),
+        izero,
     )
+    _, _, _, best_t, best_tri, _, _ = jax.lax.while_loop(cond, body, init)
     return finalize_hits(scene, rays, best_t, best_tri, ktest)

@@ -78,9 +78,10 @@ def sharded_histogram(
     all-reduce — no hand-written collectives.
     """
 
-    def local(scene, rays, absorption):
+    def local(scene, rays, absorption, aux):
         res = trace_rays(
-            scene, rays, absorption, n_bounces, shoot_fn, sound_speed=sound_speed
+            scene, rays, absorption, n_bounces, shoot_fn, aux=aux,
+            sound_speed=sound_speed,
         )
         hist = energy_histogram(res, n_bins, bin_dt)
         return jax.lax.psum(hist, axis)
@@ -88,10 +89,15 @@ def sharded_histogram(
     smap = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis), P()),
+        in_specs=(P(), P(axis), P(), P()),
         out_specs=P(),
     )
-    return jax.jit(smap)
+    jfn = jax.jit(smap)
+
+    def fn(scene, rays, absorption, aux=None):
+        return jfn(scene, rays, absorption, aux)
+
+    return fn
 
 
 def make_train_step(
@@ -115,17 +121,19 @@ def make_train_step(
     params: dict with 'absorption' (P,) and optionally 'vertices' (V, 3).
     """
 
-    def local_loss(params, scene, rays, target):
+    def local_loss(params, scene, rays, target, aux):
         a = jax.nn.sigmoid(params["absorption"])  # keep in (0, 1)
         if fit_vertices:
             scene = scene.with_vertices(params["vertices"])
-        res = trace_rays(scene, rays, a, n_bounces, shoot_fn)
+        res = trace_rays(scene, rays, a, n_bounces, shoot_fn, aux=aux)
         hist = energy_histogram(res, n_bins, bin_dt)
         hist = jax.lax.psum(hist, axis)
         return jnp.sum((hist - target) ** 2) / n_bins
 
-    def local_step(params, opt_state, scene, rays, target):
-        loss, grads = jax.value_and_grad(local_loss)(params, scene, rays, target)
+    def local_step(params, opt_state, scene, rays, target, aux):
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, scene, rays, target, aux
+        )
         # shard_map gives per-device identical replicated grads for unmapped
         # params (its transpose psums the batched contributions).
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -135,7 +143,12 @@ def make_train_step(
     smap = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P()),
+        in_specs=(P(), P(), P(), P(axis), P(), P()),
         out_specs=(P(), P(), P()),
     )
-    return jax.jit(smap)
+    jstep = jax.jit(smap)
+
+    def step(params, opt_state, scene, rays, target, aux=None):
+        return jstep(params, opt_state, scene, rays, target, aux)
+
+    return step

@@ -58,7 +58,8 @@ def trace_rays(
     rays: Ray,
     absorption: jnp.ndarray,
     n_bounces: int,
-    shoot_fn: Callable[[Scene, Ray], HitRecord],
+    shoot_fn: Callable[..., HitRecord],
+    aux=None,
     sound_speed: float = SOUND_SPEED,
 ) -> TraceResult:
     """Trace ``rays`` for up to ``n_bounces`` specular reflections.
@@ -69,8 +70,13 @@ def trace_rays(
         true metric length).
       absorption: ``(P,)`` per-polygon energy absorption coefficients in
         [0, 1] — the differentiable material parameter.
-      shoot_fn: any ``(scene, rays) -> HitRecord`` backend (brute, grid,
-        octree, KD — the ``Spatial_Partition`` polymorphism).
+      shoot_fn: any ``(scene, rays[, aux]) -> HitRecord`` backend (brute,
+        grid, octree, KD — the ``Spatial_Partition`` polymorphism).
+      aux: accel-structure pytree passed through to ``shoot_fn``.  MUST be
+        used (rather than closing the structure into ``shoot_fn``) for
+        non-trivial structures: closed-over device arrays become embedded
+        jit constants, which XLA then constant-folds across the traversal
+        loops — compile times and step times blow up by orders of magnitude.
     """
     d0 = normalize(rays.direction)
     n = rays.origin.shape[0]
@@ -97,7 +103,8 @@ def trace_rays(
     )
 
     def body(s: _S, _):
-        hr = shoot_fn(scene, Ray(s.origin, s.direction, s.exclude))
+        r = Ray(s.origin, s.direction, s.exclude)
+        hr = shoot_fn(scene, r) if aux is None else shoot_fn(scene, r, aux)
         live_hit = hr.hit & s.alive
 
         # Geometric normal of the hit triangle from live vertices (grad path
