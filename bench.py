@@ -12,8 +12,8 @@ import time
 
 import numpy as np
 
-# First recorded fwd+bwd figure (r1); later rounds report speedup vs this.
-BASELINE_MRAYS = 1.0
+# First recorded fwd+bwd figure (r1, pre-optimization); speedup vs this.
+BASELINE_MRAYS = 0.073
 
 
 def main():
@@ -30,7 +30,7 @@ def main():
         6, radius=6.0, center=(10.0, 10.0, 10.0)
     )
     top = Topology.build(faces)
-    sp = SpatialPartition(top, accel="grid", max_doublings=6, avg_polys=12.0)
+    sp = SpatialPartition(top, accel="grid", domain=48)
 
     n_rays = 1 << 15
     n_bounces = 3

@@ -13,28 +13,33 @@ Build (host, vectorized NumPy — replaces the thread-per-core fill with
     ``max_doublings`` is reached (``:128-254``).
   - membership by the same SAT triangle/box test (``AABB_Tri_Int.cs``) with
     the reference's 0.1% voxel padding (``Voxel_Grid.cs:283-285``).
-  - layout: CSR offsets + **instance-major geometry** — every (cell,
-    triangle) instance stores its [v0 | e1 | e2] Möller–Trumbore operands
-    contiguously in cell order, so a traversal step gathers W consecutive
-    288-byte rows per ray instead of W scattered 12-byte vertex rows
-    (scattered row gathers are the difference between ~1.5 ms and ~µs steps
-    on TPU).
-  - a chebyshev **distance field** over cells (the principled version of the
-    reference's six ``UInt16`` directional step tables,
-    ``Voxel_Grid - alt.cs:44, 242-251``, whose skip arithmetic SURVEY.md
-    flags as dubious): ``dist[c]`` = chebyshev distance to the nearest
-    occupied cell, capped.
+
+Device layout — everything the traversal touches is packed for the TPU's
+gather engine, whose cost is per *row*, nearly independent of row width up
+to a (8, 128) tile (measured ~2.4 ns/row for 128-lane f32 rows vs ~4x that
+when the same data is split across four narrow gathers):
+
+  - ``win_data`` (n_windows, 128) f32: each row is one 8-triangle *window*
+    of a cell's triangle list — lanes [0:72] hold 8 x [v0|e1|e2]
+    Möller–Trumbore operands, lanes [72:80]/[80:88]/[88:96] hold the
+    triangle / polygon / topology ids bitcast to f32.  One traversal step
+    fetches ONE row per ray.
+  - ``cell_meta`` (n_cells, 2) i32: [window start | n_windows << 8 | dist],
+    where ``dist`` is the chebyshev distance to the nearest occupied cell —
+    the principled form of the reference's six directional ``UInt16`` step
+    tables (``Voxel_Grid - alt.cs:44, 242-251``, whose skip arithmetic
+    SURVEY.md flags as dubious): from a cell with dist D >= 2 the ray can
+    jump D-1 cell boundaries in one parametric step.
 
 Traversal (device): ALL rays march in lockstep inside one
-``lax.while_loop`` — no vmapped scalar loops.  Each iteration either tests a
-W-triangle window of the current cell (one contiguous block gather + one
-fused elementwise MT over the whole batch) or advances the DDA; empty
-regions are crossed in a single parametric jump of ``(dist-1)`` cells
-(restarting the DDA at the jumped position).  Mailboxing is dropped: min-t
-reduction makes duplicate tests idempotent (vs ``Voxel_Grid.cs:29-32,
-334-343, 478-480``, whose global ``assign_id()`` lock would serialize all
-rays).  A hit is accepted only before the next cell boundary (the "hit
-point inside the current voxel" rule, ``:496-499``, in t-form).
+``lax.while_loop`` — no vmapped scalar loops.  Each iteration issues
+exactly two independent gathers (current cell's meta + one window row) and
+one fused 8-wide MT test; empty regions are crossed in a single parametric
+jump.  Mailboxing is dropped: min-t reduction makes duplicate tests
+idempotent (vs ``Voxel_Grid.cs:29-32, 334-343, 478-480``, whose global
+``assign_id()`` lock would serialize all rays).  A hit is accepted only
+before the next cell boundary (the "hit point inside the current voxel"
+rule, ``:496-499``, in t-form).
 
 Unlike the reference's grid fast path (t-only, returns ``u=v=0``,
 ``:481-498``), real barycentrics are always returned (recomputed
@@ -51,7 +56,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..geom.intersect import MIN_T, ray_aabb
+from ..geom.intersect import DET_EPS, MIN_T, ray_aabb
 from ..geom.primitives import HitRecord, Ray
 from ..geom.tribox import tri_box_overlap
 from ..mesh.scene import Scene
@@ -61,47 +66,40 @@ from .common import finalize_hits
 
 __all__ = ["VoxelGrid", "build_voxel_grid", "shoot_grid"]
 
+# Triangles per window row (8 x 9 operands + 3 x 8 ids = 96 of 128 lanes).
+WIN = 8
 # Voxel padding factor for the SAT fill (Voxel_Grid.cs:283-285: +-0.001 voxel).
 FILL_PAD = 1.001
 # Epsilon nudge (in units of char_step) applied when clipping an outside ray
 # to the grid entry (Voxel_Grid.cs:367-377 uses 1e-6 absolute; we scale).
 ENTRY_EPS = 1e-4
 # Distance-field cap (cells); larger empty regions are crossed in several hops.
-DIST_CAP = 15
+DIST_CAP = 63
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=(
-        "cell_start",
-        "cell_tris",
+        "cell_meta",
+        "win_data",
         "grid_min",
         "voxel_size",
-        "inst_geom",
-        "inst_tri",
-        "inst_poly",
-        "inst_top",
-        "dist_field",
     ),
-    meta_fields=("dims", "char_step", "max_cell_tris"),
+    meta_fields=("dims", "char_step", "max_cell_wins", "n_tris"),
 )
 @dataclasses.dataclass(frozen=True)
 class VoxelGrid:
-    """Device voxel grid: CSR offsets + instance-major geometry + distance
-    field.  ``dims``/``char_step``/``max_cell_tris`` are static."""
+    """Device voxel grid: per-cell meta + 128-lane packed window rows.
+    ``dims``/``char_step``/``max_cell_wins`` are static."""
 
-    cell_start: jnp.ndarray  # (nx*ny*nz + 1,) i32 CSR offsets
-    cell_tris: jnp.ndarray  # (total,) i32 triangle ids (cell-major order)
+    cell_meta: jnp.ndarray  # (nx*ny*nz, 2) i32 [win_start, n_wins<<8 | dist]
+    win_data: jnp.ndarray  # (n_windows + 1, 128) f32 packed rows; last = null
     grid_min: jnp.ndarray  # (3,) f32
     voxel_size: jnp.ndarray  # (3,) f32
-    inst_geom: jnp.ndarray  # (total + pad, 9) f32 [v0|e1|e2] per instance
-    inst_tri: jnp.ndarray  # (total + pad,) i32 (= cell_tris padded with -1)
-    inst_poly: jnp.ndarray  # (total + pad,) i32
-    inst_top: jnp.ndarray  # (total + pad,) i32
-    dist_field: jnp.ndarray  # (nx*ny*nz,) i32 chebyshev dist to occupied
     dims: Tuple[int, int, int]
     char_step: float  # min voxel dimension (Spatial_Partition.Char_Step)
-    max_cell_tris: int  # max triangles in any one cell
+    max_cell_wins: int  # max windows in any one cell
+    n_tris: int
 
     @property
     def n_cells(self) -> int:
@@ -165,13 +163,11 @@ def _fill(
 def _chebyshev_distance(occ: np.ndarray, cap: int = DIST_CAP) -> np.ndarray:
     """Chebyshev distance-to-occupied over a 3-D bool grid, capped.
 
-    Iterative 3^3 min-erosion: converges in ``cap`` sweeps.  This replaces
-    the reference's six directional ``UInt16`` step tables
-    (``Voxel_Grid - alt.cs:44``) with one isotropic field whose skip rule is
-    provably safe: from anywhere inside a cell with dist D, the ray crosses
-    at least D-1 more cell boundaries before it can enter an occupied cell.
+    Iterative 3^3 min-erosion: converges in ``cap`` sweeps.  The skip rule
+    is provably safe: from anywhere inside a cell with dist D, the ray
+    crosses at least D-1 more cell boundaries before it can enter an
+    occupied cell.
     """
-    nx, ny, nz = occ.shape
     dist = np.where(occ, 0, cap).astype(np.int32)
     for _ in range(cap):
         m = dist.copy()
@@ -202,8 +198,6 @@ def build_voxel_grid(
         tri = np.asarray(jnp.stack(source.tri_vertices(), axis=1), np.float64)[real]
         tri_poly = np.asarray(source.tri_poly)[real]
         tri_top = np.asarray(source.tri_top)[real]
-        # cell_tris indexes the unpadded prefix == scene triangle ids
-        # (padding is always appended at the end).
     elif isinstance(source, Topology):
         tri = source.vertices[source.tri_v]
         tri_poly = source.tri_poly
@@ -244,44 +238,82 @@ def build_voxel_grid(
         vox = extent / np.array(dims)
 
     counts = np.diff(cell_start)
+    n_cells = int(np.prod(dims))
 
-    # ---- instance-major geometry in CSR (cell-major) order, padded so a
-    # full W-window gather starting at any valid instance stays in bounds.
-    PADW = 64
-    total = len(cell_tris)
-    g = tri[cell_tris] if total else np.zeros((0, 3, 3))
-    v0 = g[:, 0, :]
-    inst_geom = np.zeros((total + PADW, 9), np.float32)
-    if total:
-        inst_geom[:total] = np.concatenate(
-            [v0, g[:, 1, :] - v0, g[:, 2, :] - v0], axis=-1
+    # ---- pack per-cell lists into 8-triangle window rows of 128 f32 lanes.
+    n_wins_per_cell = -(-counts // WIN)  # ceil
+    win_start = np.concatenate([[0], np.cumsum(n_wins_per_cell)]).astype(np.int64)
+    n_windows = int(win_start[-1])
+    if n_wins_per_cell.max(initial=0) >= (1 << 23):
+        raise ValueError("cell window count overflows meta packing")
+
+    # Instance slot for every (cell, window, lane): cell c's window w lane l
+    # maps to CSR position cell_start[c] + w*WIN + l when in range.
+    # Geometry is COMPONENT-MAJOR within the row — lane c*WIN+k holds
+    # component c (v0x..e2z) of instance k — so the MT test consumes static
+    # 8-lane slices with no cross-lane reshapes (reshapes materialize as
+    # physical relayout copies on TPU and dominated the old kernel).
+    win_data = np.zeros((n_windows + 1, 128), np.float32)
+    if n_windows:
+        # window -> owning cell (repeat cells by their window count)
+        occ_cells = np.nonzero(counts)[0]
+        win_cell = np.repeat(occ_cells, n_wins_per_cell[occ_cells])
+        win_local = np.arange(n_windows) - win_start[win_cell]  # window # in cell
+        lane = np.arange(WIN)
+        pos = cell_start[win_cell][:, None] + (win_local[:, None] * WIN + lane)
+        in_range = pos < (cell_start[win_cell] + counts[win_cell])[:, None]
+        pos_c = np.minimum(pos, len(cell_tris) - 1)
+        t_ids = np.where(in_range, cell_tris[pos_c], -1)  # (n_windows, WIN)
+        safe = np.maximum(t_ids, 0)
+        g = tri[safe]  # (n_windows, WIN, 3, 3)
+        v0 = g[:, :, 0, :]
+        ops = np.concatenate(
+            [v0, g[:, :, 1, :] - v0, g[:, :, 2, :] - v0], axis=-1
+        )  # (n_windows, WIN, 9)
+        ops = np.where(in_range[:, :, None], ops, 0.0)
+        win_data[:n_windows, 0 : 9 * WIN] = ops.transpose(0, 2, 1).reshape(
+            n_windows, 9 * WIN
         )
-    inst_tri = np.full(total + PADW, -1, np.int32)
-    inst_tri[:total] = cell_tris
-    inst_poly = np.full(total + PADW, -2, np.int32)
-    inst_poly[:total] = tri_poly[cell_tris] if total else 0
-    inst_top = np.full(total + PADW, -1, np.int32)
-    inst_top[:total] = tri_top[cell_tris] if total else 0
+        win_data[:n_windows, 9 * WIN : 10 * WIN] = np.where(
+            in_range, t_ids, -1
+        ).astype(np.int32).view(np.float32)
+        win_data[:n_windows, 10 * WIN : 11 * WIN] = np.where(
+            in_range, tri_poly[safe], -2
+        ).astype(np.int32).view(np.float32)
+        win_data[:n_windows, 11 * WIN : 12 * WIN] = np.where(
+            in_range, tri_top[safe], -1
+        ).astype(np.int32).view(np.float32)
+    # Null row (index n_windows): ids already -0.0 -> set to pad markers.
+    win_data[n_windows, 9 * WIN : 10 * WIN] = (
+        np.full(WIN, -1, np.int32).view(np.float32)
+    )
+    win_data[n_windows, 10 * WIN : 11 * WIN] = (
+        np.full(WIN, -2, np.int32).view(np.float32)
+    )
+    win_data[n_windows, 11 * WIN : 12 * WIN] = (
+        np.full(WIN, -1, np.int32).view(np.float32)
+    )
 
     dist = _chebyshev_distance((counts > 0).reshape(dims))
+    cell_meta = np.empty((n_cells, 2), np.int32)
+    cell_meta[:, 0] = win_start[:-1]
+    cell_meta[:, 1] = (n_wins_per_cell.astype(np.int64) << 8) | dist.ravel()
 
     return VoxelGrid(
-        cell_start=jnp.asarray(cell_start),
-        cell_tris=jnp.asarray(cell_tris),
+        cell_meta=jnp.asarray(cell_meta),
+        win_data=jnp.asarray(win_data),
         grid_min=jnp.asarray(gmin, jnp.float32),
         voxel_size=jnp.asarray(vox, jnp.float32),
-        inst_geom=jnp.asarray(inst_geom),
-        inst_tri=jnp.asarray(inst_tri),
-        inst_poly=jnp.asarray(inst_poly),
-        inst_top=jnp.asarray(inst_top),
-        dist_field=jnp.asarray(dist.ravel()),
         dims=tuple(int(d) for d in dims),
         char_step=float(vox.min()),
-        max_cell_tris=int(counts.max()) if len(counts) else 0,
+        max_cell_wins=int(n_wins_per_cell.max(initial=0)),
+        n_tris=len(tri),
     )
 
 
-@partial(jax.jit, static_argnames=("kernel", "top_index", "window"))
+@partial(
+    jax.jit, static_argnames=("kernel", "top_index", "with_stats", "cap")
+)
 def shoot_grid(
     scene: Scene,
     rays: Ray,
@@ -289,21 +321,51 @@ def shoot_grid(
     kernel: str = "mt",
     min_t: float = MIN_T,
     top_index: Optional[int] = None,
-    window: int = 8,
-) -> HitRecord:
-    """Nearest-hit query via batch-lockstep 3-D DDA with empty-space skip.
+    with_stats: bool = False,
+    cap: int = 32,
+    march: int = 16,
+):
+    """Nearest-hit query: collect-then-test 3-D DDA with empty-space skip.
 
-    See the module docstring for the traversal design.  ``window`` (W) is
-    the number of contiguous candidate instances tested per iteration.
+    The traversal is split to fit the TPU memory system (measured: an
+    in-loop gather's cost is dominated by XLA staging its whole operand
+    toward VMEM every iteration, so the marching loop must touch only a
+    small table, and the big geometry table must be hit by one large batched
+    gather per ray batch, not per step):
+
+      phase 1 — *collect*: a lockstep ``lax.while_loop`` marches the DDA
+        touching ONLY ``cell_meta`` (a few bytes per cell).  Occupied cells
+        append their window-row ids to a per-ray candidate buffer of
+        ``cap`` slots; empty runs are crossed with distance-field jumps.
+        A ray stops when it leaves the grid or its buffer is full
+        (overflow, with the parametric coverage limit ``t_cap`` recorded).
+      phase 2 — *test*: ONE gather of all candidate rows (N x cap x 128)
+        fused into a batched Möller–Trumbore + min-t reduction.
+
+    Overflowed rays (coverage incomplete and no hit before ``t_cap``)
+    resume from the overflow cell in another round of the same two phases;
+    the outer loop runs until every ray is resolved — results are exact,
+    not truncated.  Duplicate tests across cells/rounds are idempotent
+    under the min-t reduction (this replaces the reference's mailboxing,
+    ``Voxel_Grid.cs:29-32, 334-343``, whose global ``assign_id()`` lock
+    would serialize all rays).
+
+    With ``with_stats=True`` returns ``(HitRecord, per_ray_iterations)`` —
+    per-ray phase-1 iteration counts (SURVEY.md §5 observability).
     """
     ktest = _KERNELS[kernel]
     nx, ny, nz = grid.dims
     dims = jnp.array(grid.dims, jnp.int32)
-    W = int(window)
-    chunks_bound = max(1, -(-max(grid.max_cell_tris, 1) // W))
-    n_steps_max = (nx + ny + nz + 3) + chunks_bound * (nx + ny + nz + 3)
+    null_row = grid.win_data.shape[0] - 1
+    # Buffer must hold at least the fattest single cell, else it can never
+    # make progress through that cell.
+    C = max(int(cap), grid.max_cell_wins, 1)
+    # Phase-1 march bound: the 3(n-1)+3 DDA walk.
+    p1_steps_max = nx + ny + nz + 3
+    # Outer bound: every two rounds progress at least one cell.
+    max_rounds = 2 * p1_steps_max
 
-    dtype = grid.inst_geom.dtype
+    dtype = grid.win_data.dtype
     inf = jnp.asarray(jnp.inf, dtype)
 
     o = jax.lax.stop_gradient(rays.origin)  # (N, 3)
@@ -320,7 +382,6 @@ def shoot_grid(
         0.0,
         jnp.where(bhit, jnp.maximum(t_near, 0.0) + ENTRY_EPS * grid.char_step, inf),
     )
-    o_adv = o + t0[:, None] * d
     valid_ray = jnp.isfinite(t0)
 
     # ---- DDA setup (Voxel_Grid.cs:379-422), batched (N, 3)
@@ -341,101 +402,211 @@ def shoot_grid(
         t_max = jnp.where(d == 0, inf, (nxt - o) / safe_d)
         return cell, t_max
 
-    cell0, t_max0 = locate(t0)
+    def linearize(cell):
+        return (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
 
-    def cond(c):
-        _, _, _, best_t, _, done, steps = c
-        return jnp.logical_not(jnp.all(done)) & (steps < n_steps_max)
-
-    def body(c):
-        cell, t_max, chunk, best_t, best_tri, done, steps = c
-        lin = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]  # (N,)
-        start = grid.cell_start[lin]
-        end = grid.cell_start[lin + 1]
-
-        # ---- test a W-wide contiguous instance window of the current cell.
-        base = start + chunk * W
-        rows = jnp.minimum(base, grid.inst_geom.shape[0] - W)
-        # (N, W, 9) gather of W consecutive rows per ray: index arithmetic
-        # keeps rows contiguous so the gather is W x 36B blocks, not scattered.
-        idx = rows[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-        gwin = grid.inst_geom[idx]  # (N, W, 9)
-        tid = grid.inst_tri[idx]
-        tp = grid.inst_poly[idx]
-        m = (idx >= start[:, None]) & (idx < end[:, None])
-        v0 = gwin[..., 0:3]
-        v1 = v0 + gwin[..., 3:6]
-        v2 = v0 + gwin[..., 6:9]
-        valid, t, _, _ = ktest(o[:, None, :], d[:, None, :], v0, v1, v2)
-        acc = (
-            m
-            & valid
-            & (t > min_t)
-            & (tp != ex[:, 0:1])
-            & (tp != ex[:, 1:2])
-            & ~done[:, None]
-        )
-        if top_index is not None:
-            acc &= grid.inst_top[idx] == top_index
-        t = jnp.where(acc, t, inf)
-        j = jnp.argmin(t, axis=1)
-        t_min = jnp.take_along_axis(t, j[:, None], 1)[:, 0]
-        tri_min = jnp.take_along_axis(tid, j[:, None], 1)[:, 0]
-        better = t_min < best_t
-        best_t = jnp.where(better, t_min, best_t)
-        best_tri = jnp.where(better, tri_min, best_tri)
-
-        # ---- more windows in this cell?  Stay; else advance the DDA.
-        more = (base + W < end) & ~done
-        t_exit = jnp.min(t_max, axis=1)
-        found = best_t <= t_exit + 1e-6 * (1.0 + t_exit)
-
-        # Normal single step along the smallest t_max axis.
-        axis = jnp.argmin(t_max, axis=1)
-        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
-        cell_n = cell + onehot * step
-        t_max_n = t_max + onehot.astype(dtype) * t_delta
-        moved_ax = jnp.take_along_axis(cell_n, axis[:, None], 1)[:, 0]
-        off_n = (moved_ax < 0) | (moved_ax >= dims[axis])
-
-        # Empty-space skip: dist D >= 2 allows a parametric jump past D-1
-        # boundary crossings, restarting the DDA at the jumped position.
-        D = grid.dist_field[lin]
-        do_jump = (D >= 2) & ~done
-        t_jump = t_exit + (D.astype(dtype) - 1.0) * min_delta
-        cell_j, t_max_j = locate(t_jump + 1e-4 * min_delta)
-        pos_j = o + t_jump[:, None] * d
-        off_j = jnp.any((pos_j < grid.grid_min) | (pos_j > gmax), axis=-1)
-
-        advance = ~more & ~done
-        cell = jnp.where(
-            (advance & do_jump)[:, None],
-            cell_j,
-            jnp.where(advance[:, None], cell_n, cell),
-        )
-        t_max = jnp.where(
-            (advance & do_jump)[:, None],
-            t_max_j,
-            jnp.where(advance[:, None], t_max_n, t_max),
-        )
-        off = jnp.where(do_jump, off_j, off_n) & advance
-        chunk = jnp.where(more, chunk + 1, 0)
-        done = done | (found & ~more) | off
-        return (cell, t_max, chunk, best_t, best_tri, done, steps + 1)
+    cell0, t_max0 = locate(jnp.where(valid_ray, t0, 0.0))
 
     # Varying-zero seeds: under shard_map the carries must have the same
     # "varying over mesh axis" type as the per-ray updates.
     vzero = jnp.sum(o, axis=-1) * 0.0  # (N,)
     izero_v = vzero.astype(jnp.int32)
     izero = jnp.sum(izero_v)
+    lanes = jnp.arange(C, dtype=jnp.int32)[None, :]  # (1, C)
+
+    # ======== phase 1: meta-only DDA march collecting candidate windows ====
+    # The body is kept to a handful of fusions and exactly ONE gather — the
+    # per-iteration floor inside a TPU while loop is set by the op count,
+    # so the advance logic is pure mask arithmetic (no argmin/one_hot/
+    # take_along_axis, each of which lowers to an extra gather or relayout).
+    def collect(cell, t_max, t_enter, active, best_t, steps_cap):
+        """March until off-grid, buffer full, past best_t, or steps_cap."""
+
+        def p1_cond(s):
+            return jnp.logical_not(jnp.all(~s[3])) & (s[8] < steps_cap)
+
+        def p1_body(s):
+            (cell, t_max, t_enter, collecting, buf, cnt, iters, paused,
+             steps) = s
+            meta = grid.cell_meta[linearize(cell)]  # the ONLY in-loop gather
+            ws = meta[:, 0]
+            w = jax.lax.shift_right_logical(meta[:, 1], 8)
+            dist = meta[:, 1] & 0xFF
+
+            # Append this cell's windows to the per-ray buffer.
+            fits = cnt + w <= C
+            take = collecting & fits
+            sel = take[:, None] & (lanes >= cnt[:, None]) & (
+                lanes < (cnt + w)[:, None]
+            )
+            buf = jnp.where(sel, ws[:, None] + (lanes - cnt[:, None]), buf)
+            cnt = cnt + jnp.where(take, w, 0)
+
+            # Buffer overflow: pause HERE (coverage ends at this cell's
+            # entry); the ray resumes from this very cell next round.
+            pause = collecting & ~fits
+            paused = paused | pause
+
+            # Advance via DDA step (mask form: ties advance several axes at
+            # once — a legal diagonal step) or distance-field jump (>= 2).
+            t_exit = jnp.min(t_max, axis=1)
+            do_jump = dist >= 2
+            move = collecting & ~pause
+
+            adv = (t_max <= t_exit[:, None]) & move[:, None] & ~do_jump[:, None]
+            cell_s = cell + jnp.where(adv, step, 0)
+            t_max_s = t_max + jnp.where(adv, t_delta, 0.0)
+
+            t_jump = t_exit + (dist.astype(dtype) - 1.0) * min_delta
+            jumping = (move & do_jump)[:, None]
+            pos_j = o + (t_jump + 1e-4 * min_delta)[:, None] * d
+            cell_j = jnp.floor(
+                (pos_j - grid.grid_min) / grid.voxel_size
+            ).astype(jnp.int32)
+            cell = jnp.where(jumping, cell_j, cell_s)
+            off = jnp.any((cell < 0) | (cell >= dims), axis=-1) & move
+            cell = jnp.clip(cell, 0, dims - 1)
+            nxt = grid.grid_min + (cell + (d > 0)) * grid.voxel_size
+            t_max_j = jnp.where(d == 0, inf, (nxt - o) / safe_d)
+            t_max = jnp.where(jumping, t_max_j, t_max_s)
+            t_enter = jnp.where(
+                move, jnp.where(do_jump, t_jump, t_exit), t_enter
+            )
+
+            # Keep marching only while the uncovered region can still beat
+            # the best hit found in earlier rounds (t-pruning).
+            collecting = move & ~off & (t_enter <= best_t)
+            iters = iters + collecting.astype(jnp.int32)
+            return (cell, t_max, t_enter, collecting, buf, cnt, iters,
+                    paused, steps + 1)
+
+        init = (
+            cell, t_max, t_enter, active,
+            jnp.full((N, C), null_row, jnp.int32) + izero_v[:, None],
+            izero_v,  # cnt
+            izero_v,  # iters
+            active & False,  # paused (buffer overflow)
+            izero,
+        )
+        out = jax.lax.while_loop(p1_cond, p1_body, init)
+        (cell, t_max, t_enter, collecting, buf, cnt, iters, paused, _) = out
+        # Rays stopped by the steps cap (still `collecting`) also pause.
+        paused = paused | collecting
+        # Coverage is complete strictly below the entry of the pause cell.
+        t_cap = jnp.where(paused, t_enter, jnp.inf)
+        return cell, t_max, t_enter, buf, paused, t_cap, iters
+
+    # ======== phase 2: one batched gather + fused MT + min-t reduction =====
+    # The Möller–Trumbore test is written in scalar-component form over the
+    # component-major lane blocks (9 static 8-lane slices) — zero cross-lane
+    # reshapes, everything fuses into one VPU pass over the gather output.
+    # Acceptance semantics match the reference (det cutoff 1e-6 two-sided,
+    # Hare_Geometry_Polygons.cs:406,417; u/v recomputed differentiably at
+    # the winning triangle by finalize_hits).
+    def test(buf, active, best_t, best_tri):
+        C = buf.shape[1]
+        g = grid.win_data[buf]  # (N, C, 128) — ONE big gather, fuses onward
+        cmp = [g[..., WIN * i : WIN * (i + 1)] for i in range(9)]
+        v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = cmp
+        dx, dy, dz = d[:, 0, None, None], d[:, 1, None, None], d[:, 2, None, None]
+        ox, oy, oz = o[:, 0, None, None], o[:, 1, None, None], o[:, 2, None, None]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        u_s = tx * px + ty * py + tz * pz
+        v_s = dx * qx + dy * qy + dz * qz
+        t_s = e2x * qx + e2y * qy + e2z * qz
+        s = jnp.sign(det)
+        valid = (
+            (s * u_s >= 0)
+            & (s * v_s >= 0)
+            & (s * (u_s + v_s) <= s * det)
+            & (jnp.abs(det) > DET_EPS)
+        )
+        t = jnp.where(valid, t_s / jnp.where(valid, det, 1.0), inf)
+
+        tid = jax.lax.bitcast_convert_type(
+            g[..., 9 * WIN : 10 * WIN], jnp.int32
+        )
+        tp = jax.lax.bitcast_convert_type(
+            g[..., 10 * WIN : 11 * WIN], jnp.int32
+        )
+        acc = (
+            active[:, None, None]
+            & valid
+            & (t > min_t)
+            & (tid >= 0)
+            & (tp != ex[:, 0:1, None])
+            & (tp != ex[:, 1:2, None])
+        )
+        if top_index is not None:
+            ttop = jax.lax.bitcast_convert_type(
+                g[..., 11 * WIN : 12 * WIN], jnp.int32
+            )
+            acc &= ttop == top_index
+        t = jnp.where(acc, t, inf).reshape(N, C * WIN)
+        j = jnp.argmin(t, axis=1)
+        t_min = jnp.take_along_axis(t, j[:, None], 1)[:, 0]
+        tri_min = jnp.take_along_axis(
+            tid.reshape(N, C * WIN), j[:, None], 1
+        )[:, 0]
+        better = t_min < best_t
+        return (
+            jnp.where(better, t_min, best_t),
+            jnp.where(better, tri_min, best_tri),
+        )
+
+    # ======== outer rounds: collect -> test -> resolve/resume ==============
+    # Each round marches at most `march` cells; rays that either filled the
+    # buffer or hit the march cap pause and resume next round, after the
+    # intervening test pass has t-pruned everyone it can.  This converts
+    # worst-lane march length (lockstep!) into extra rounds paid only when
+    # stragglers exist.
+    TIER = 16  # always-tested low slots; high slots tested under a cond
+
+    def r_cond(c):
+        return jnp.logical_not(jnp.all(c[3])) & (c[6] < max_rounds)
+
+    def r_body(c):
+        cell, t_max, t_enter, done, best_t, best_tri, rounds, iters = c
+        cell, t_max, t_enter, buf, paused, t_cap, it1 = collect(
+            cell, t_max, t_enter, ~done, best_t, march
+        )
+        best_t, best_tri = test(buf[:, :TIER], ~done, best_t, best_tri)
+        if C > TIER:
+            # Skip the high-slot gather entirely when no ray used them.
+            best_t, best_tri = jax.lax.cond(
+                jnp.any(buf[:, TIER] != null_row),
+                lambda bt, btr: test(buf[:, TIER:], ~done, bt, btr),
+                lambda bt, btr: (bt, btr),
+                best_t,
+                best_tri,
+            )
+        # Resolved: full path covered, or a hit before the coverage limit.
+        done = done | ~paused | (best_t <= t_cap)
+        return (cell, t_max, t_enter, done, best_t, best_tri, rounds + 1,
+                iters + it1)
+
     init = (
         cell0,
         t_max0,
-        izero_v,
+        t0 + vzero,  # t_enter of the origin cell
+        jnp.logical_not(valid_ray),  # done
         jnp.full((N,), jnp.inf, dtype) + vzero,
         jnp.full((N,), -1, jnp.int32) + izero_v,
-        jnp.logical_not(valid_ray),
-        izero,
+        izero,  # rounds
+        izero_v,  # iters
     )
-    _, _, _, best_t, best_tri, _, _ = jax.lax.while_loop(cond, body, init)
-    return finalize_hits(scene, rays, best_t, best_tri, ktest)
+    out = jax.lax.while_loop(r_cond, r_body, init)
+    best_t, best_tri, rounds, iters = out[4], out[5], out[6], out[7]
+    hits = finalize_hits(scene, rays, best_t, best_tri, ktest)
+    if with_stats:
+        return hits, iters, rounds
+    return hits

@@ -32,28 +32,42 @@ def rand_dirs(rng, n):
     return d / np.linalg.norm(d, axis=1, keepdims=True)
 
 
+def _decode(grid):
+    """Per-cell triangle-id lists from the packed window layout."""
+    meta = np.asarray(grid.cell_meta)
+    wd = np.asarray(grid.win_data)
+    tids = wd[:, 72:80].view(np.int32)  # (n_windows+1, 8)
+    out = []
+    for c in range(meta.shape[0]):
+        start, nw = meta[c, 0], meta[c, 1] >> 8
+        ids = tids[start : start + nw].ravel()
+        out.append(ids[ids >= 0])
+    return out
+
+
 def test_grid_build_shoebox():
     top = Topology.build(shapes.shoebox(4, 5, 3))
     grid = build_voxel_grid(top, domain=4)
     assert grid.dims == (4, 4, 4)
     assert grid.n_cells == 64
+    cells = _decode(grid)
     # every wall triangle appears in at least one cell
-    assert set(np.asarray(grid.cell_tris).tolist()) == set(range(12))
-    # CSR is consistent
-    cs = np.asarray(grid.cell_start)
-    assert cs[0] == 0 and cs[-1] == len(np.asarray(grid.cell_tris))
-    assert (np.diff(cs) >= 0).all()
+    assert set(np.concatenate(cells).tolist()) == set(range(12))
+    # dist==0 exactly for occupied cells
+    dist = np.asarray(grid.cell_meta)[:, 1] & 0xFF
+    occ = np.array([len(c) > 0 for c in cells])
+    np.testing.assert_array_equal(dist == 0, occ)
     assert grid.char_step > 0
 
 
 def test_grid_adaptive():
     top = Topology.build(shapes.concert_hall())
     grid = build_voxel_grid(top, domain=None, max_doublings=5, avg_polys=16.0)
-    counts = np.diff(np.asarray(grid.cell_start))
+    counts = np.array([len(c) for c in _decode(grid)])
     occ = counts[counts > 0]
     # adaptive criterion reached (or the doubling cap)
     assert occ.mean() < 16.0 or grid.dims[0] == 32
-    assert grid.max_cell_tris == counts.max()
+    assert grid.max_cell_wins == -(-counts.max() // 8)
 
 
 def test_grid_agreement_shoebox(rng):
