@@ -9,7 +9,16 @@ from .intersect import (
     ray_triangle_mt,
     ray_triangle_watertight,
 )
-from .tribox import tri_box_overlap
+from .closest import (
+    closest_point_aabb,
+    closest_point_plane,
+    closest_point_segment,
+    closest_point_triangle,
+    dist_to_plane,
+    ray_side,
+    sq_distance_to_edges,
+)
+from .tribox import poly_box_overlap_area, tri_box_overlap
 
 __all__ = [
     "AABB",
@@ -18,15 +27,23 @@ __all__ = [
     "MIN_T",
     "NO_POLY",
     "Ray",
+    "closest_point_aabb",
+    "closest_point_plane",
+    "closest_point_segment",
+    "closest_point_triangle",
     "cross",
+    "dist_to_plane",
     "distance",
     "dot",
     "is_coplanar",
     "norm",
     "normalize",
+    "poly_box_overlap_area",
     "ray_aabb",
+    "ray_side",
     "ray_triangle_mt",
     "ray_triangle_watertight",
     "scalar_triple",
+    "sq_distance_to_edges",
     "tri_box_overlap",
 ]

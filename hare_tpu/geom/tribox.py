@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["tri_box_overlap"]
+__all__ = ["tri_box_overlap", "poly_box_overlap_area"]
 
 
 def _axis_test(v_a, v_b, half, a_idx, b_idx, ea, eb):
@@ -85,3 +85,50 @@ def tri_box_overlap(
     sep |= (d > r) | (d < -r)
 
     return ~sep
+
+
+def poly_box_overlap_area(pts: np.ndarray, box_min, box_max) -> float:
+    """Area of (planar convex polygon) ∩ (axis-aligned box).
+
+    Functional replacement for ``AABB.Poly_Overlap_Area``
+    (``AABB_Main.cs:299-379``), which collects polygon corners inside the
+    box, polygon-edge/box crossings, and box-edge/polygon crossings, then
+    fan-sums a polar-angle sort — and whose box ``Edge(i)`` enumeration is
+    malformed for cases 9-11 (``AABB_Main.cs:414-419``, documented defect).
+    Here the polygon is clipped against the six box half-spaces
+    (Sutherland–Hodgman) and the area of the clipped polygon is returned —
+    exact for convex planar input, no edge-case table.
+
+    Args:
+      pts: ``(K, 3)`` polygon corners (convex, planar).
+      box_min, box_max: ``(3,)`` box corners.
+    Returns:
+      The clipped area (0.0 when disjoint).
+    """
+    pts = np.asarray(pts, np.float64)
+    box_min = np.asarray(box_min, np.float64)
+    box_max = np.asarray(box_max, np.float64)
+    poly = list(pts)
+    for axis in range(3):
+        for sign, bound in ((1.0, box_min[axis]), (-1.0, box_max[axis])):
+            if not poly:
+                return 0.0
+            # keep points with sign*(p[axis] - bound) >= 0
+            out = []
+            k = len(poly)
+            for i in range(k):
+                a, b = poly[i], poly[(i + 1) % k]
+                da = sign * (a[axis] - bound)
+                db = sign * (b[axis] - bound)
+                if da >= 0:
+                    out.append(a)
+                    if db < 0:
+                        out.append(a + (b - a) * (da / (da - db)))
+                elif db >= 0:
+                    out.append(a + (b - a) * (da / (da - db)))
+            poly = out
+    if len(poly) < 3:
+        return 0.0
+    p = np.asarray(poly)
+    fan = np.cross(p[1:-1] - p[0], p[2:] - p[0])
+    return float(0.5 * np.linalg.norm(fan, axis=-1).sum())

@@ -77,6 +77,8 @@ class Topology:
     poly_normal: np.ndarray  # (P, 3) f64 unit normals
     poly_centroid: np.ndarray  # (P, 3) f64
     poly_area: np.ndarray  # (P,) f64
+    poly_convex: np.ndarray  # (P,) bool (Polygon.Convexity analog)
+    poly_degenerate: np.ndarray  # (P,) bool (zero-normal polygons)
     vertex_normals: np.ndarray  # (V, 3) f64
     bbox_min: np.ndarray  # (3,) padded by 1e-12 like the reference
     bbox_max: np.ndarray
@@ -141,6 +143,26 @@ class Topology:
         area1 = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=1)
         area2 = 0.5 * np.linalg.norm(np.cross(p3 - p2, p0 - p2), axis=1)
         poly_area = area1 + np.where(is_quad, area2, 0.0)
+
+        # --- Convexity / degeneracy flags (Polygon ctor analog:
+        # Convexity() at Hare_Geometry_Polygons.cs:285-371 — but computed in
+        # the polygon's own plane rather than the reference's unconditional
+        # XY projection, which misclassifies vertical polygons; degenerate =
+        # vanishing normal, :188-191).  Triangles are always convex.
+        poly_degenerate = (ln[:, 0] == 0.0)
+        e01 = p1 - p0
+        e12 = p2 - p1
+        e23 = p3 - p2
+        e30 = p0 - p3
+        signs = np.stack(
+            [
+                np.einsum("ij,ij->i", np.cross(a_, b_), poly_normal)
+                for a_, b_ in ((e01, e12), (e12, e23), (e23, e30), (e30, e01))
+            ],
+            axis=1,
+        )
+        quad_convex = (signs >= -1e-12).all(axis=1) | (signs <= 1e-12).all(axis=1)
+        poly_convex = np.where(is_quad, quad_convex, True) & ~poly_degenerate
 
         # --- Triangulation: quads -> (0,1,2) + (2,3,0)
         # (Hare_Geometry_Polygons.cs:731-782), in face order.
@@ -254,6 +276,8 @@ class Topology:
             poly_normal=poly_normal,
             poly_centroid=poly_centroid,
             poly_area=poly_area,
+            poly_convex=poly_convex,
+            poly_degenerate=poly_degenerate,
             vertex_normals=vertex_normals,
             bbox_min=vertices.min(axis=0) - pad if len(vertices) else np.zeros(3),
             bbox_max=vertices.max(axis=0) + pad if len(vertices) else np.zeros(3),
@@ -301,6 +325,45 @@ class Topology:
     ) -> Scene:
         """Emit the padded device :class:`Scene` pytree."""
         return build_scene([self], dtype=dtype, pad_to=pad_to)
+
+    # -------------------------------------------------- per-polygon queries
+    # Host-side analogs of the reference Topology utility surface
+    # (Hare_Geometry_Topology.cs:550-675).
+    def polygon_area(self, poly_id: int) -> float:
+        """``Polygon_Area`` (``Hare_Geometry_Topology.cs:550-560``)."""
+        return float(self.poly_area[poly_id])
+
+    def polygon_centroid(self, poly_id: int) -> np.ndarray:
+        """``Polygon_Centroid`` (``:562-566``)."""
+        return self.poly_centroid[poly_id]
+
+    def dist_to_plane(self, p, poly_id: int) -> float:
+        """``DistToPlane(Point, Poly_ID)`` (``:583-587``): signed distance
+        from p to the polygon's plane."""
+        n = self.poly_normal[poly_id]
+        q = self.vertices[self.poly_verts[poly_id][0]]
+        return float(np.dot(n, np.asarray(p, np.float64) - q))
+
+    def closest_point(self, p, poly_id: int) -> np.ndarray:
+        """``Closest_Point(Point, Poly_ID)`` (``:589-615``): closest point on
+        the polygon (min over its triangle fans, Voronoi-region exact)."""
+        from ..geom.closest import closest_point_triangle
+
+        p = np.asarray(p, np.float64)
+        tris = self.tri_v[self.tri_poly == poly_id]
+        v = self.vertices
+        best, best_d = None, np.inf
+        for t in tris:
+            q = np.asarray(
+                closest_point_triangle(
+                    jnp.asarray(p), jnp.asarray(v[t[0]]),
+                    jnp.asarray(v[t[1]]), jnp.asarray(v[t[2]]),
+                )
+            )
+            dd = float(np.sum((q - p) ** 2))
+            if dd < best_d:
+                best, best_d = q, dd
+        return best
 
     def set_vertex(self, index: int, xyz) -> None:
         """In-place coordinate update (``Set_Vertex``,

@@ -1,0 +1,94 @@
+"""Frozen run configuration with CLI override.
+
+The reference's only configuration surface is constructor arguments and
+baked-in constants (SURVEY.md §5: ``Topology(Precision)``,
+``Voxel_Grid(Model, Domain)`` / ``(Model, MaxDomain, Avg_polys)``,
+``Octree/KDTree(Model, maxDepth, maxPolygonsPerNode)``; mailbox sizes and
+epsilons are hard-coded).  This keeps the same tunables — weld precision,
+grid domain / target occupancy, tree depth / leaf size — as one frozen
+dataclass that jit can treat as static, plus batch/bounce/histogram knobs the
+consumer loop needs, overridable from the command line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+__all__ = ["HareConfig"]
+
+
+@dataclass(frozen=True)
+class HareConfig:
+    # Scene / mesh compilation (Topology ctor surface)
+    precision: int = 15  # weld rounding digits (Hare_Geometry_Topology.cs:70)
+    # Accel structure choice + parameters (Spatial_Partition implementations)
+    accel: str = "grid"  # brute | grid | octree | kdtree
+    domain: Optional[int] = None  # fixed grid resolution (Voxel_Grid.cs:48)
+    max_doublings: int = 6  # adaptive cap (Voxel_Grid.cs:128)
+    avg_polys: float = 10.0  # adaptive occupancy target (Voxel_Grid.cs:128)
+    max_depth: int = 8  # octree/kdtree (Octree - alt.cs:45, KDTree.cs:51)
+    max_tris_per_node: int = 16
+    kernel: str = "mt"  # mt | watertight
+    cap: int = 32  # grid candidate-buffer slots per round
+    march: int = 16  # grid march steps per round
+    # Tracing
+    n_rays: int = 1 << 15
+    n_bounces: int = 8
+    n_bins: int = 1024
+    bin_dt: float = 1e-3
+    sound_speed: float = 343.0
+    seed: int = 0
+    # Execution
+    dtype: str = "float32"
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+    metrics_path: Optional[str] = None  # JSONL metrics sink
+    checkpoint_dir: Optional[str] = None
+
+    def replace(self, **kw) -> "HareConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "HareConfig":
+        return cls(**json.loads(s))
+
+    @classmethod
+    def parser(cls) -> argparse.ArgumentParser:
+        p = argparse.ArgumentParser(description="hare_tpu run configuration")
+        for f in dataclasses.fields(cls):
+            name = "--" + f.name.replace("_", "-")
+            if f.type == "bool" or isinstance(f.default, bool):
+                p.add_argument(name, action="store_true", default=f.default)
+            else:
+                typ = type(f.default) if f.default is not None else str
+                if f.default is None and f.name in ("domain",):
+                    typ = int
+                p.add_argument(name, type=typ, default=f.default)
+        return p
+
+    @classmethod
+    def from_cli(cls, argv: Optional[Sequence[str]] = None) -> "HareConfig":
+        ns = cls.parser().parse_args(argv)
+        return cls(**vars(ns))
+
+    def accel_params(self) -> dict:
+        """kwargs for SpatialPartition, by accel kind."""
+        if self.accel == "grid":
+            if self.domain is not None:
+                return {"domain": self.domain}
+            return {
+                "max_doublings": self.max_doublings,
+                "avg_polys": self.avg_polys,
+            }
+        if self.accel in ("octree", "kdtree"):
+            return {
+                "max_depth": self.max_depth,
+                "max_tris_per_node": self.max_tris_per_node,
+            }
+        return {}
