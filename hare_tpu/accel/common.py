@@ -16,15 +16,167 @@ welded vertices.  Traversal decisions get straight-through (zero) gradient.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..geom.intersect import DET_EPS
 from ..geom.primitives import NO_POLY, HitRecord, Ray
 from ..mesh.scene import Scene
 
-__all__ = ["finalize_hits"]
+__all__ = ["finalize_hits", "pack_windows", "test_windows", "WIN"]
+
+# Triangles per 128-lane window row (8 x 9 operands + 3 x 8 ids = 96 lanes).
+WIN = 8
+
+
+def pack_windows(
+    tri: np.ndarray,
+    tri_poly: np.ndarray,
+    tri_top: np.ndarray,
+    start: np.ndarray,
+    counts: np.ndarray,
+    items: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pack per-group triangle lists into 128-lane window rows (host side).
+
+    Shared device layout for every accel structure (grid cells, octree and
+    KD-tree leaves): each row holds an 8-triangle *window* of one group's
+    list, geometry COMPONENT-MAJOR — lane ``c*8+k`` is component c
+    (v0x..e2z) of instance k — so the test kernel consumes static 8-lane
+    slices with no cross-lane reshapes; triangle / polygon / topology ids
+    ride bitcast in lanes 72:96.  Row ``n_windows`` is the all-null row.
+
+    Args:
+      tri: (T, 3, 3) triangle vertices. tri_poly/tri_top: (T,) ids.
+      start/counts: (G,) CSR offsets into ``items`` per group.
+      items: (total,) triangle ids, group-major.
+    Returns:
+      (win_data (NW+1, 128) f32, win_start (G,) i64, n_wins (G,) i64)
+    """
+    n_wins_per = -(-counts // WIN)
+    win_start = np.concatenate([[0], np.cumsum(n_wins_per)]).astype(np.int64)
+    n_windows = int(win_start[-1])
+    win_data = np.zeros((n_windows + 1, 128), np.float32)
+    if n_windows:
+        occ = np.nonzero(counts)[0]
+        win_grp = np.repeat(occ, n_wins_per[occ])
+        win_local = np.arange(n_windows) - win_start[win_grp]
+        lane = np.arange(WIN)
+        pos = start[win_grp][:, None] + (win_local[:, None] * WIN + lane)
+        in_range = pos < (start[win_grp] + counts[win_grp])[:, None]
+        pos_c = np.minimum(pos, len(items) - 1)
+        t_ids = np.where(in_range, items[pos_c], -1)
+        safe = np.maximum(t_ids, 0)
+        g = tri[safe]  # (n_windows, WIN, 3, 3)
+        v0 = g[:, :, 0, :]
+        ops = np.concatenate(
+            [v0, g[:, :, 1, :] - v0, g[:, :, 2, :] - v0], axis=-1
+        )
+        ops = np.where(in_range[:, :, None], ops, 0.0)
+        win_data[:n_windows, 0 : 9 * WIN] = ops.transpose(0, 2, 1).reshape(
+            n_windows, 9 * WIN
+        )
+        win_data[:n_windows, 9 * WIN : 10 * WIN] = np.where(
+            in_range, t_ids, -1
+        ).astype(np.int32).view(np.float32)
+        win_data[:n_windows, 10 * WIN : 11 * WIN] = np.where(
+            in_range, tri_poly[safe], -2
+        ).astype(np.int32).view(np.float32)
+        win_data[:n_windows, 11 * WIN : 12 * WIN] = np.where(
+            in_range, tri_top[safe], -1
+        ).astype(np.int32).view(np.float32)
+    win_data[n_windows, 9 * WIN : 10 * WIN] = (
+        np.full(WIN, -1, np.int32).view(np.float32)
+    )
+    win_data[n_windows, 10 * WIN : 11 * WIN] = (
+        np.full(WIN, -2, np.int32).view(np.float32)
+    )
+    win_data[n_windows, 11 * WIN : 12 * WIN] = (
+        np.full(WIN, -1, np.int32).view(np.float32)
+    )
+    return win_data, win_start[:-1], n_wins_per.astype(np.int64)
+
+
+def test_windows(
+    win_data: jnp.ndarray,
+    buf: jnp.ndarray,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    ex: jnp.ndarray,
+    active: jnp.ndarray,
+    best_t: jnp.ndarray,
+    best_tri: jnp.ndarray,
+    min_t: float,
+    top_index: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched candidate test: ONE gather + fused component-major MT + min-t.
+
+    Möller–Trumbore in scalar-component form over the window rows' 8-lane
+    blocks (zero cross-lane reshapes); acceptance matches the reference
+    (two-sided, det cutoff 1e-6, ``Hare_Geometry_Polygons.cs:406,417``;
+    ``t > min_t`` and origin-polygon exclusion applied by the traversal
+    layer exactly as ``Voxel_Grid.cs:477-491``).
+
+    Args:
+      buf: (N, C) i32 window-row ids (null rows are self-masking).
+    Returns: updated (best_t, best_tri).
+    """
+    N, C = buf.shape
+    inf = jnp.asarray(jnp.inf, win_data.dtype)
+    g = win_data[buf]  # (N, C, 128)
+    cmp = [g[..., WIN * i : WIN * (i + 1)] for i in range(9)]
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = cmp
+    dx, dy, dz = d[:, 0, None, None], d[:, 1, None, None], d[:, 2, None, None]
+    ox, oy, oz = o[:, 0, None, None], o[:, 1, None, None], o[:, 2, None, None]
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    u_s = tx * px + ty * py + tz * pz
+    v_s = dx * qx + dy * qy + dz * qz
+    t_s = e2x * qx + e2y * qy + e2z * qz
+    s = jnp.sign(det)
+    valid = (
+        (s * u_s >= 0)
+        & (s * v_s >= 0)
+        & (s * (u_s + v_s) <= s * det)
+        & (jnp.abs(det) > DET_EPS)
+    )
+    t = jnp.where(valid, t_s / jnp.where(valid, det, 1.0), inf)
+
+    tid = jax.lax.bitcast_convert_type(g[..., 9 * WIN : 10 * WIN], jnp.int32)
+    tp = jax.lax.bitcast_convert_type(g[..., 10 * WIN : 11 * WIN], jnp.int32)
+    acc = (
+        active[:, None, None]
+        & valid
+        & (t > min_t)
+        & (tid >= 0)
+        & (tp != ex[:, 0:1, None])
+        & (tp != ex[:, 1:2, None])
+    )
+    if top_index is not None:
+        ttop = jax.lax.bitcast_convert_type(
+            g[..., 11 * WIN : 12 * WIN], jnp.int32
+        )
+        acc &= ttop == top_index
+    t = jnp.where(acc, t, inf).reshape(N, C * WIN)
+    j = jnp.argmin(t, axis=1)
+    t_min = jnp.take_along_axis(t, j[:, None], 1)[:, 0]
+    tri_min = jnp.take_along_axis(tid.reshape(N, C * WIN), j[:, None], 1)[:, 0]
+    better = t_min < best_t
+    return (
+        jnp.where(better, t_min, best_t),
+        jnp.where(better, tri_min, best_tri),
+    )
 
 
 def finalize_hits(

@@ -66,7 +66,7 @@ class SpatialPartition:
         elif accel == "octree":
             self.struct = build_octree(self.model, **params)
             self._shoot = partial(shoot_octree, tree=self.struct, kernel=kernel)
-            ext = np.asarray(self.struct.node_max[0] - self.struct.node_min[0])
+            ext = np.asarray(self.struct.root_max - self.struct.root_min)
             self.char_step = float(ext.min()) / (2 ** self.struct.max_depth)
         elif accel == "kdtree":
             self.struct = build_kdtree(self.model, **params)

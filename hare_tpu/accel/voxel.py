@@ -62,12 +62,10 @@ from ..geom.tribox import tri_box_overlap
 from ..mesh.scene import Scene
 from ..mesh.topology import Topology
 from .brute import _KERNELS
-from .common import finalize_hits
+from .common import WIN, finalize_hits, pack_windows, test_windows
 
 __all__ = ["VoxelGrid", "build_voxel_grid", "shoot_grid"]
 
-# Triangles per window row (8 x 9 operands + 3 x 8 ids = 96 of 128 lanes).
-WIN = 8
 # Voxel padding factor for the SAT fill (Voxel_Grid.cs:283-285: +-0.001 voxel).
 FILL_PAD = 1.001
 # Epsilon nudge (in units of char_step) applied when clipping an outside ray
@@ -240,63 +238,17 @@ def build_voxel_grid(
     counts = np.diff(cell_start)
     n_cells = int(np.prod(dims))
 
-    # ---- pack per-cell lists into 8-triangle window rows of 128 f32 lanes.
-    n_wins_per_cell = -(-counts // WIN)  # ceil
-    win_start = np.concatenate([[0], np.cumsum(n_wins_per_cell)]).astype(np.int64)
-    n_windows = int(win_start[-1])
+    # ---- pack per-cell lists into the shared 128-lane window-row layout.
+    win_data, win_start, n_wins_per_cell = pack_windows(
+        tri, tri_poly, tri_top, cell_start[:-1].astype(np.int64), counts,
+        cell_tris,
+    )
     if n_wins_per_cell.max(initial=0) >= (1 << 23):
         raise ValueError("cell window count overflows meta packing")
 
-    # Instance slot for every (cell, window, lane): cell c's window w lane l
-    # maps to CSR position cell_start[c] + w*WIN + l when in range.
-    # Geometry is COMPONENT-MAJOR within the row — lane c*WIN+k holds
-    # component c (v0x..e2z) of instance k — so the MT test consumes static
-    # 8-lane slices with no cross-lane reshapes (reshapes materialize as
-    # physical relayout copies on TPU and dominated the old kernel).
-    win_data = np.zeros((n_windows + 1, 128), np.float32)
-    if n_windows:
-        # window -> owning cell (repeat cells by their window count)
-        occ_cells = np.nonzero(counts)[0]
-        win_cell = np.repeat(occ_cells, n_wins_per_cell[occ_cells])
-        win_local = np.arange(n_windows) - win_start[win_cell]  # window # in cell
-        lane = np.arange(WIN)
-        pos = cell_start[win_cell][:, None] + (win_local[:, None] * WIN + lane)
-        in_range = pos < (cell_start[win_cell] + counts[win_cell])[:, None]
-        pos_c = np.minimum(pos, len(cell_tris) - 1)
-        t_ids = np.where(in_range, cell_tris[pos_c], -1)  # (n_windows, WIN)
-        safe = np.maximum(t_ids, 0)
-        g = tri[safe]  # (n_windows, WIN, 3, 3)
-        v0 = g[:, :, 0, :]
-        ops = np.concatenate(
-            [v0, g[:, :, 1, :] - v0, g[:, :, 2, :] - v0], axis=-1
-        )  # (n_windows, WIN, 9)
-        ops = np.where(in_range[:, :, None], ops, 0.0)
-        win_data[:n_windows, 0 : 9 * WIN] = ops.transpose(0, 2, 1).reshape(
-            n_windows, 9 * WIN
-        )
-        win_data[:n_windows, 9 * WIN : 10 * WIN] = np.where(
-            in_range, t_ids, -1
-        ).astype(np.int32).view(np.float32)
-        win_data[:n_windows, 10 * WIN : 11 * WIN] = np.where(
-            in_range, tri_poly[safe], -2
-        ).astype(np.int32).view(np.float32)
-        win_data[:n_windows, 11 * WIN : 12 * WIN] = np.where(
-            in_range, tri_top[safe], -1
-        ).astype(np.int32).view(np.float32)
-    # Null row (index n_windows): ids already -0.0 -> set to pad markers.
-    win_data[n_windows, 9 * WIN : 10 * WIN] = (
-        np.full(WIN, -1, np.int32).view(np.float32)
-    )
-    win_data[n_windows, 10 * WIN : 11 * WIN] = (
-        np.full(WIN, -2, np.int32).view(np.float32)
-    )
-    win_data[n_windows, 11 * WIN : 12 * WIN] = (
-        np.full(WIN, -1, np.int32).view(np.float32)
-    )
-
     dist = _chebyshev_distance((counts > 0).reshape(dims))
     cell_meta = np.empty((n_cells, 2), np.int32)
-    cell_meta[:, 0] = win_start[:-1]
+    cell_meta[:, 0] = win_start
     cell_meta[:, 1] = (n_wins_per_cell.astype(np.int64) << 8) | dist.ravel()
 
     return VoxelGrid(
@@ -496,71 +448,11 @@ def shoot_grid(
         t_cap = jnp.where(paused, t_enter, jnp.inf)
         return cell, t_max, t_enter, buf, paused, t_cap, iters
 
-    # ======== phase 2: one batched gather + fused MT + min-t reduction =====
-    # The Möller–Trumbore test is written in scalar-component form over the
-    # component-major lane blocks (9 static 8-lane slices) — zero cross-lane
-    # reshapes, everything fuses into one VPU pass over the gather output.
-    # Acceptance semantics match the reference (det cutoff 1e-6 two-sided,
-    # Hare_Geometry_Polygons.cs:406,417; u/v recomputed differentiably at
-    # the winning triangle by finalize_hits).
+    # ======== phase 2: shared batched window test (accel/common.py) =======
     def test(buf, active, best_t, best_tri):
-        C = buf.shape[1]
-        g = grid.win_data[buf]  # (N, C, 128) — ONE big gather, fuses onward
-        cmp = [g[..., WIN * i : WIN * (i + 1)] for i in range(9)]
-        v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = cmp
-        dx, dy, dz = d[:, 0, None, None], d[:, 1, None, None], d[:, 2, None, None]
-        ox, oy, oz = o[:, 0, None, None], o[:, 1, None, None], o[:, 2, None, None]
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        tx = ox - v0x
-        ty = oy - v0y
-        tz = oz - v0z
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        u_s = tx * px + ty * py + tz * pz
-        v_s = dx * qx + dy * qy + dz * qz
-        t_s = e2x * qx + e2y * qy + e2z * qz
-        s = jnp.sign(det)
-        valid = (
-            (s * u_s >= 0)
-            & (s * v_s >= 0)
-            & (s * (u_s + v_s) <= s * det)
-            & (jnp.abs(det) > DET_EPS)
-        )
-        t = jnp.where(valid, t_s / jnp.where(valid, det, 1.0), inf)
-
-        tid = jax.lax.bitcast_convert_type(
-            g[..., 9 * WIN : 10 * WIN], jnp.int32
-        )
-        tp = jax.lax.bitcast_convert_type(
-            g[..., 10 * WIN : 11 * WIN], jnp.int32
-        )
-        acc = (
-            active[:, None, None]
-            & valid
-            & (t > min_t)
-            & (tid >= 0)
-            & (tp != ex[:, 0:1, None])
-            & (tp != ex[:, 1:2, None])
-        )
-        if top_index is not None:
-            ttop = jax.lax.bitcast_convert_type(
-                g[..., 11 * WIN : 12 * WIN], jnp.int32
-            )
-            acc &= ttop == top_index
-        t = jnp.where(acc, t, inf).reshape(N, C * WIN)
-        j = jnp.argmin(t, axis=1)
-        t_min = jnp.take_along_axis(t, j[:, None], 1)[:, 0]
-        tri_min = jnp.take_along_axis(
-            tid.reshape(N, C * WIN), j[:, None], 1
-        )[:, 0]
-        better = t_min < best_t
-        return (
-            jnp.where(better, t_min, best_t),
-            jnp.where(better, tri_min, best_tri),
+        return test_windows(
+            grid.win_data, buf, o, d, ex, active, best_t, best_tri,
+            min_t, top_index,
         )
 
     # ======== outer rounds: collect -> test -> resolve/resume ==============

@@ -38,36 +38,56 @@ def agree(sc, shoot_fn, o, d, ex=None, **kw):
 
 
 # ------------------------------------------------------------------- builds
+def _reachable_tris(tr):
+    """All triangle ids reachable from the pseudo-root of a TreeTables."""
+    K = tr.branch
+    rows = np.asarray(tr.node_rows)
+    wd = np.asarray(tr.win_data)
+    tids = wd[:, 72:80].view(np.int32)
+    out = []
+    stack = [tr.n_nodes - 1]  # pseudo-root row
+    seen = set()
+    while stack:
+        nid = stack.pop()
+        if nid in seen:
+            continue
+        seen.add(nid)
+        row = rows[nid]
+        cid = row[6 * K : 7 * K].view(np.int32)
+        ws = row[7 * K : 8 * K].view(np.int32)
+        nw = row[8 * K : 9 * K].view(np.int32)
+        for k in range(K):
+            if nw[k] > 0:
+                ids = tids[ws[k] : ws[k] + nw[k]].ravel()
+                out.extend(ids[ids >= 0].tolist())
+            if cid[k] >= 0:
+                stack.append(cid[k])
+    return out
+
+
 def test_octree_build():
     top = Topology.build(shapes.icosphere(2))
     tr = build_octree(top, max_depth=5, max_tris_per_node=8)
+    assert tr.branch == 8
     assert tr.n_nodes >= 9  # root split at least once
-    cb = np.asarray(tr.child_base)
-    lc = np.asarray(tr.leaf_count)
-    ls = np.asarray(tr.leaf_start)
-    leaves = cb < 0
-    # non-empty leaves: CSR ranges within bounds; all tris reachable
-    M = len(np.asarray(tr.leaf_tris))
-    assert (ls[leaves] + lc[leaves] <= M).all()
-    assert set(np.asarray(tr.leaf_tris).tolist()) == set(range(top.n_tris))
-    # children boxes tile the parent
-    inner = np.nonzero(~leaves)[0]
-    nm, nx = np.asarray(tr.node_min), np.asarray(tr.node_max)
-    for nid in inner[:10]:
-        kids = cb[nid] + np.arange(8)
-        np.testing.assert_allclose(nm[kids].min(0), nm[nid], atol=1e-6)
-        np.testing.assert_allclose(nx[kids].max(0), nx[nid], atol=1e-6)
+    assert set(_reachable_tris(tr)) == set(range(top.n_tris))
+    # child boxes lie inside the root box
+    K = 8
+    rows = np.asarray(tr.node_rows)
+    rmin = np.asarray(tr.root_min)
+    rmax = np.asarray(tr.root_max)
+    mins = np.stack([rows[:, c * K : (c + 1) * K] for c in range(3)], -1)
+    maxs = np.stack([rows[:, (3 + c) * K : (4 + c) * K] for c in range(3)], -1)
+    real = np.isfinite(mins).all(-1)
+    assert (mins[real] >= rmin - 1e-5).all() and (maxs[real] <= rmax + 1e-5).all()
 
 
 def test_kdtree_build():
     top = Topology.build(shapes.concert_hall())
     tr = build_kdtree(top, max_depth=14, max_tris_per_node=12)
-    ax = np.asarray(tr.axis)
-    assert (ax <= 2).all() and (ax >= -1).all()
-    assert set(np.asarray(tr.leaf_tris).tolist()) == set(range(top.n_tris))
-    # leaves are bounded by the build criterion or duplication-forced
-    lc = np.asarray(tr.leaf_count)
-    assert lc.max() == tr.max_leaf_tris
+    assert tr.branch == 2
+    assert set(_reachable_tris(tr)) == set(range(top.n_tris))
+    assert tr.max_node_need >= 1
 
 
 # ---------------------------------------------------------------- agreement
