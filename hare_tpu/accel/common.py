@@ -28,8 +28,11 @@ from ..mesh.scene import Scene
 
 __all__ = ["finalize_hits", "pack_windows", "test_windows", "WIN"]
 
-# Triangles per 128-lane window row (8 x 9 operands + 3 x 8 ids = 96 lanes).
-WIN = 8
+# Triangles per window row.  Row width = 12*WIN lanes (9 geometry components
+# + 3 id lanes per triangle).  32 -> 384-lane rows (three (8,128) tiles):
+# measured on-chip, gather cost is dominated by ROW COUNT, so fatter rows
+# cut the test phase ~2.3x at constant data volume vs 128-lane rows.
+WIN = 32
 
 
 def pack_windows(
@@ -43,23 +46,23 @@ def pack_windows(
     """Pack per-group triangle lists into 128-lane window rows (host side).
 
     Shared device layout for every accel structure (grid cells, octree and
-    KD-tree leaves): each row holds an 8-triangle *window* of one group's
-    list, geometry COMPONENT-MAJOR — lane ``c*8+k`` is component c
-    (v0x..e2z) of instance k — so the test kernel consumes static 8-lane
+    KD-tree leaves): each row holds a WIN-triangle *window* of one group's
+    list, geometry COMPONENT-MAJOR — lane ``c*WIN+k`` is component c
+    (v0x..e2z) of instance k — so the test kernel consumes static WIN-lane
     slices with no cross-lane reshapes; triangle / polygon / topology ids
-    ride bitcast in lanes 72:96.  Row ``n_windows`` is the all-null row.
+    ride bitcast in lanes 9*WIN:12*WIN.  Row ``n_windows`` is all-null.
 
     Args:
       tri: (T, 3, 3) triangle vertices. tri_poly/tri_top: (T,) ids.
       start/counts: (G,) CSR offsets into ``items`` per group.
       items: (total,) triangle ids, group-major.
     Returns:
-      (win_data (NW+1, 128) f32, win_start (G,) i64, n_wins (G,) i64)
+      (win_data (NW+1, 12*WIN) f32, win_start (G,) i64, n_wins (G,) i64)
     """
     n_wins_per = -(-counts // WIN)
     win_start = np.concatenate([[0], np.cumsum(n_wins_per)]).astype(np.int64)
     n_windows = int(win_start[-1])
-    win_data = np.zeros((n_windows + 1, 128), np.float32)
+    win_data = np.zeros((n_windows + 1, 12 * WIN), np.float32)
     if n_windows:
         occ = np.nonzero(counts)[0]
         win_grp = np.repeat(occ, n_wins_per[occ])
@@ -114,7 +117,7 @@ def test_windows(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched candidate test: ONE gather + fused component-major MT + min-t.
 
-    Möller–Trumbore in scalar-component form over the window rows' 8-lane
+    Möller–Trumbore in scalar-component form over the window rows' WIN-lane
     blocks (zero cross-lane reshapes); acceptance matches the reference
     (two-sided, det cutoff 1e-6, ``Hare_Geometry_Polygons.cs:406,417``;
     ``t > min_t`` and origin-polygon exclusion applied by the traversal
@@ -126,7 +129,7 @@ def test_windows(
     """
     N, C = buf.shape
     inf = jnp.asarray(jnp.inf, win_data.dtype)
-    g = win_data[buf]  # (N, C, 128)
+    g = win_data[buf]  # (N, C, 12*WIN)
     cmp = [g[..., WIN * i : WIN * (i + 1)] for i in range(9)]
     v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = cmp
     dx, dy, dz = d[:, 0, None, None], d[:, 1, None, None], d[:, 2, None, None]

@@ -176,7 +176,7 @@ def shoot_tree(
     min_t: float = MIN_T,
     top_index: Optional[int] = None,
     with_stats: bool = False,
-    cap: int = 32,
+    cap: int = 8,
     march: int = 16,
 ):
     """Nearest-hit query via lockstep collect-then-test tree traversal."""

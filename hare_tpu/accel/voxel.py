@@ -274,8 +274,8 @@ def shoot_grid(
     min_t: float = MIN_T,
     top_index: Optional[int] = None,
     with_stats: bool = False,
-    cap: int = 32,
-    march: int = 16,
+    cap: int = 16,
+    march: int = 32,
 ):
     """Nearest-hit query: collect-then-test 3-D DDA with empty-space skip.
 
@@ -461,7 +461,7 @@ def shoot_grid(
     # intervening test pass has t-pruned everyone it can.  This converts
     # worst-lane march length (lockstep!) into extra rounds paid only when
     # stragglers exist.
-    TIER = 16  # always-tested low slots; high slots tested under a cond
+    TIER = max(1, C // 2)  # always-tested low slots; rest under a cond
 
     def r_cond(c):
         return jnp.logical_not(jnp.all(c[3])) & (c[6] < max_rounds)

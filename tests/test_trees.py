@@ -43,7 +43,8 @@ def _reachable_tris(tr):
     K = tr.branch
     rows = np.asarray(tr.node_rows)
     wd = np.asarray(tr.win_data)
-    tids = wd[:, 72:80].view(np.int32)
+    from hare_tpu.accel.common import WIN
+    tids = wd[:, 9 * WIN : 10 * WIN].view(np.int32)
     out = []
     stack = [tr.n_nodes - 1]  # pseudo-root row
     seen = set()

@@ -36,7 +36,8 @@ def _decode(grid):
     """Per-cell triangle-id lists from the packed window layout."""
     meta = np.asarray(grid.cell_meta)
     wd = np.asarray(grid.win_data)
-    tids = wd[:, 72:80].view(np.int32)  # (n_windows+1, 8)
+    from hare_tpu.accel.common import WIN
+    tids = wd[:, 9 * WIN : 10 * WIN].view(np.int32)
     out = []
     for c in range(meta.shape[0]):
         start, nw = meta[c, 0], meta[c, 1] >> 8
@@ -67,7 +68,8 @@ def test_grid_adaptive():
     occ = counts[counts > 0]
     # adaptive criterion reached (or the doubling cap)
     assert occ.mean() < 16.0 or grid.dims[0] == 32
-    assert grid.max_cell_wins == -(-counts.max() // 8)
+    from hare_tpu.accel.common import WIN as _W
+    assert grid.max_cell_wins == -(-counts.max() // _W)
 
 
 def test_grid_agreement_shoebox(rng):
