@@ -114,14 +114,22 @@ def test_windows(
     best_tri: jnp.ndarray,
     min_t: float,
     top_index: Optional[int] = None,
+    kernel: str = "mt",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched candidate test: ONE gather + fused component-major MT + min-t.
+    """Batched candidate test: ONE gather + fused component-major test + min-t.
 
-    Möller–Trumbore in scalar-component form over the window rows' WIN-lane
-    blocks (zero cross-lane reshapes); acceptance matches the reference
-    (two-sided, det cutoff 1e-6, ``Hare_Geometry_Polygons.cs:406,417``;
-    ``t > min_t`` and origin-polygon exclusion applied by the traversal
-    layer exactly as ``Voxel_Grid.cs:477-491``).
+    ``kernel="mt"``: Möller–Trumbore in scalar-component form over the window
+    rows' WIN-lane blocks (zero cross-lane reshapes); acceptance matches the
+    reference (two-sided, det cutoff 1e-6,
+    ``Hare_Geometry_Polygons.cs:406,417``; ``t > min_t`` and origin-polygon
+    exclusion applied by the traversal layer exactly as
+    ``Voxel_Grid.cs:477-491``).
+
+    ``kernel="watertight"``: Woop/Benthin/Wald 2013 watertight variant in the
+    same component-major form — per-ray shear constants computed once, edge
+    functions whose signs agree across shared edges, so f32 rays through
+    shared edges of adjacent triangles cannot fall through cracks (the
+    reference relies on f64 everywhere instead).
 
     Args:
       buf: (N, C) i32 window-row ids (null rows are self-masking).
@@ -134,27 +142,74 @@ def test_windows(
     v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = cmp
     dx, dy, dz = d[:, 0, None, None], d[:, 1, None, None], d[:, 2, None, None]
     ox, oy, oz = o[:, 0, None, None], o[:, 1, None, None], o[:, 2, None, None]
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    tx = ox - v0x
-    ty = oy - v0y
-    tz = oz - v0z
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    u_s = tx * px + ty * py + tz * pz
-    v_s = dx * qx + dy * qy + dz * qz
-    t_s = e2x * qx + e2y * qy + e2z * qz
-    s = jnp.sign(det)
-    valid = (
-        (s * u_s >= 0)
-        & (s * v_s >= 0)
-        & (s * (u_s + v_s) <= s * det)
-        & (jnp.abs(det) > DET_EPS)
-    )
-    t = jnp.where(valid, t_s / jnp.where(valid, det, 1.0), inf)
+    if kernel == "watertight":
+        # ---- per-ray shear constants (computed once per ray, broadcast).
+        ad = jnp.abs(d)  # (N, 3)
+        kz = jnp.argmax(ad, axis=-1)  # (N,)
+        kx = (kz + 1) % 3
+        ky = (kx + 1) % 3
+        dz_r = jnp.take_along_axis(d, kz[:, None], axis=-1)[:, 0]
+        neg = dz_r < 0.0
+        kx_, ky_ = jnp.where(neg, ky, kx), jnp.where(neg, kx, ky)
+        dx_r = jnp.take_along_axis(d, kx_[:, None], axis=-1)[:, 0]
+        dy_r = jnp.take_along_axis(d, ky_[:, None], axis=-1)[:, 0]
+        sz = (1.0 / dz_r)[:, None, None]
+        sx = (dx_r / dz_r)[:, None, None]
+        sy = (dy_r / dz_r)[:, None, None]
+        kxb = kx_[:, None, None]
+        kyb = ky_[:, None, None]
+        kzb = kz[:, None, None]
+
+        def pick(idx, X, Y, Z):
+            return jnp.where(idx == 0, X, jnp.where(idx == 1, Y, Z))
+
+        def shear(pxc, pyc, pzc):
+            # p relative to origin, sheared into ray space.
+            rx, ry, rz = pxc - ox, pyc - oy, pzc - oz
+            axp = pick(kxb, rx, ry, rz)
+            ayp = pick(kyb, rx, ry, rz)
+            azp = pick(kzb, rx, ry, rz)
+            return axp - sx * azp, ayp - sy * azp, azp
+
+        ax, ay, az = shear(v0x, v0y, v0z)
+        bx, by, bz = shear(v0x + e1x, v0y + e1y, v0z + e1z)
+        cx, cy, cz = shear(v0x + e2x, v0y + e2y, v0z + e2z)
+        u_s = cx * by - cy * bx
+        v_s = ax * cy - ay * cx
+        w_s = bx * ay - by * ax
+        det = u_s + v_s + w_s
+        # FMA-robust acceptance band — see geom/intersect.py watertight note.
+        tol = 8.0 * jnp.finfo(u_s.dtype).eps * (
+            jnp.abs(u_s) + jnp.abs(v_s) + jnp.abs(w_s)
+        )
+        same_sign = ((u_s >= -tol) & (v_s >= -tol) & (w_s >= -tol)) | (
+            (u_s <= tol) & (v_s <= tol) & (w_s <= tol)
+        )
+        valid = same_sign & (det != 0.0)
+        t_s = sz * (u_s * az + v_s * bz + w_s * cz)
+        t = jnp.where(valid, t_s / jnp.where(valid, det, 1.0), inf)
+    else:
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        u_s = tx * px + ty * py + tz * pz
+        v_s = dx * qx + dy * qy + dz * qz
+        t_s = e2x * qx + e2y * qy + e2z * qz
+        s = jnp.sign(det)
+        valid = (
+            (s * u_s >= 0)
+            & (s * v_s >= 0)
+            & (s * (u_s + v_s) <= s * det)
+            & (jnp.abs(det) > DET_EPS)
+        )
+        t = jnp.where(valid, t_s / jnp.where(valid, det, 1.0), inf)
 
     tid = jax.lax.bitcast_convert_type(g[..., 9 * WIN : 10 * WIN], jnp.int32)
     tp = jax.lax.bitcast_convert_type(g[..., 10 * WIN : 11 * WIN], jnp.int32)

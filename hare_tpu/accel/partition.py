@@ -34,13 +34,18 @@ class SpatialPartition:
     parameters pass through (``domain/avg_polys`` for the grid a la
     ``Voxel_Grid.cs:48,128``; ``max_depth/max_tris_per_node`` for trees a la
     ``Octree - alt.cs:45`` / ``KDTree.cs:51``).
+
+    kernel: ``"watertight"`` (default — the f32 TPU tracer needs the
+    Woop/Benthin/Wald edge tests to avoid cracks along shared edges; the f64
+    reference never did) or ``"mt"`` (classic Möller–Trumbore with the
+    reference's exact det-cutoff acceptance, for parity studies).
     """
 
     def __init__(
         self,
         model: Union[Topology, Sequence[Topology]],
         accel: str = "grid",
-        kernel: str = "mt",
+        kernel: str = "watertight",
         **params,
     ):
         if isinstance(model, Topology):

@@ -114,18 +114,6 @@ def build_tree_tables(
     # rows[i] describes node i's children; extra pseudo-root at index n.
     rows = np.zeros((n + 2, row_width), np.float32)
 
-    def put(row_idx, slot, cid):
-        base = np.arange(N_COMP) * K + slot
-        vals = np.empty(N_COMP, np.float32)
-        vals[0:3] = node_min[cid]
-        vals[3:6] = node_max[cid]
-        # child id only for internal nodes (-1 for leaves: nothing to push)
-        is_inner = (child_ids[cid] >= 0).any()
-        vals[6] = np.asarray(np.int32(cid if is_inner else -1)).view(np.float32)
-        vals[7] = np.asarray(np.int32(win_start[cid])).view(np.float32)
-        vals[8] = np.asarray(np.int32(n_wins[cid])).view(np.float32)
-        rows[row_idx, base] = vals
-
     # default: nonexistent children get id -1, nw 0, and an inverted box.
     neg1 = np.asarray(np.int32(-1)).view(np.float32)
     for c in range(3):
@@ -135,22 +123,32 @@ def build_tree_tables(
     rows[:, 7 * K : 8 * K] = 0.0
     rows[:, 8 * K : 9 * K] = 0.0
 
-    for i in range(n):
-        for k in range(K):
-            cid = child_ids[i, k]
-            if cid >= 0:
-                put(i, k, int(cid))
-    put(n, 0, int(root))  # pseudo-root
+    # Vectorized fill over all real (parent, slot, child) edges, plus the
+    # pseudo-root edge (n, 0, root) appended at the end.
+    is_inner = (child_ids >= 0).any(axis=1)  # (n,)
+    p_idx, k_idx = np.nonzero(child_ids >= 0)
+    cids = child_ids[p_idx, k_idx]
+    p_idx = np.concatenate([p_idx, [n]])
+    k_idx = np.concatenate([k_idx, [0]])
+    cids = np.concatenate([cids, [root]]).astype(np.int64)
+    for c in range(3):
+        rows[p_idx, c * K + k_idx] = node_min[cids, c]
+        rows[p_idx, (3 + c) * K + k_idx] = node_max[cids, c]
+    # child id only for internal nodes (-1 for leaves: nothing to push)
+    rows[p_idx, 6 * K + k_idx] = np.where(
+        is_inner[cids], cids, -1
+    ).astype(np.int32).view(np.float32)
+    rows[p_idx, 7 * K + k_idx] = win_start[cids].astype(np.int32).view(
+        np.float32
+    )
+    rows[p_idx, 8 * K + k_idx] = n_wins[cids].astype(np.int32).view(
+        np.float32
+    )
     # rows[n+1] is the null row (all nonexistent children).
 
-    # Worst single expansion: sum of leaf-children windows of one node.
+    # Worst single expansion: sum of leaf-children windows of one node row.
     need = np.zeros(n + 1, np.int64)
-    for i in range(n):
-        for k in range(K):
-            cid = child_ids[i, k]
-            if cid >= 0 and not (child_ids[cid] >= 0).any():
-                need[i] += n_wins[cid]
-    need[n] = n_wins[root] if not (child_ids[root] >= 0).any() else 0
+    np.add.at(need, p_idx, np.where(is_inner[cids], 0, n_wins[cids]))
 
     return TreeTables(
         node_rows=jnp.asarray(rows),
@@ -207,18 +205,31 @@ def shoot_tree(
     lanesC = jnp.arange(C, dtype=jnp.int32)[None, :]
     lanesS = jnp.arange(S, dtype=jnp.int32)[None, :]
 
-    def collect(stack, sp, active, best_t, steps_cap):
-        """Pop/expand until stacks empty, buffers full, or steps_cap."""
+    def collect(stack, stmin, sp, active, best_t, steps_cap):
+        """Pop/expand until stacks empty, buffers full, or steps_cap.
+
+        Front-to-back: children are pushed in DESCENDING-tmin order (nearest
+        pops first — the lockstep analog of ``ComputeTraversalOrder``,
+        ``Octree - alt.cs:286-306``), and each stack entry carries its tmin
+        in a parallel register stack so pops prune against ``best_t`` inside
+        the loop (``closestT <= nodeTmin``, ``Octree - alt.cs:210-211``).
+        """
 
         def cond(s):
-            return jnp.logical_not(jnp.all(~s[2])) & (s[6] < steps_cap)
+            return jnp.logical_not(jnp.all(~s[3])) & (s[7] < steps_cap)
 
         def body(s):
-            stack, sp, running, buf, cnt, iters, steps = s
+            stack, stmin, sp, running, buf, cnt, iters, steps = s
             # ---- pop via one-hot select (no dynamic gathers on (N, S)).
             top_oh = lanesS == (sp - 1)[:, None]
             nid = jnp.sum(jnp.where(top_oh, stack, 0), axis=1)
-            row = tree.node_rows[jnp.where(running, nid, tree.n_nodes)]
+            node_tmin = jnp.sum(jnp.where(top_oh, stmin, 0.0), axis=1)
+            # Pop-time prune: a node entered beyond the best hit is discarded
+            # without expansion (its row gather is redirected to the null row).
+            pruned = running & (node_tmin > best_t)
+            row = tree.node_rows[
+                jnp.where(running & ~pruned, nid, tree.n_nodes)
+            ]
 
             # ---- vectorized K-child slab test from component blocks.
             blk = [row[:, c * K : (c + 1) * K] for c in range(N_COMP)]
@@ -244,7 +255,8 @@ def shoot_tree(
             # ---- buffer capacity check: whole node expands or none of it.
             need = jnp.sum(jnp.where(leaf_hit, nw, 0), axis=1)
             fits = cnt + need <= C
-            expand = running & fits  # else: pause, node stays on stack
+            # Pruned pops consume no buffer; they always "expand" (to pop).
+            expand = running & (fits | pruned)
 
             # ---- append leaf-children window ranges (K sequential selects).
             off = cnt
@@ -258,50 +270,66 @@ def shoot_tree(
                 off = off + jnp.where(take, w_k, 0)
             cnt = jnp.where(expand, off, cnt)
 
-            # ---- pop the node and push internal hit children.
+            # ---- pop the node and push internal hit children far-to-near:
+            # sort by descending tmin so the NEAREST child is on top of the
+            # stack and pops first — best_t then tightens soonest.
             sp = jnp.where(expand, sp - 1, sp)
+            if K > 1:
+                key = jnp.where(push_hit, tmin, -jnp.inf)
+                order = jnp.argsort(-key, axis=1)
+                cid_p = jnp.take_along_axis(cid, order, 1)
+                push_p = jnp.take_along_axis(push_hit, order, 1)
+                tmin_p = jnp.take_along_axis(tmin, order, 1)
+            else:
+                cid_p, push_p, tmin_p = cid, push_hit, tmin
             for k in range(K):
-                do = expand & push_hit[:, k]
-                slot = lanesS == sp[:, None]
-                stack = jnp.where(
-                    (do[:, None] & slot), cid[:, k : k + 1], stack
-                )
+                do = expand & push_p[:, k]
+                slot = do[:, None] & (lanesS == sp[:, None])
+                stack = jnp.where(slot, cid_p[:, k : k + 1], stack)
+                stmin = jnp.where(slot, tmin_p[:, k : k + 1], stmin)
                 sp = sp + do.astype(jnp.int32)
 
             running = running & expand & (sp > 0)
             iters = iters + running.astype(jnp.int32)
-            return (stack, sp, running, buf, cnt, iters, steps + 1)
+            return (stack, stmin, sp, running, buf, cnt, iters, steps + 1)
 
         init = (
-            stack, sp, active & (sp > 0),
+            stack, stmin, sp, active & (sp > 0),
             jnp.full((N, C), null_row, jnp.int32) + izero_v[:, None],
             izero_v,
             izero_v,
             izero,
         )
-        stack, sp, running, buf, cnt, iters, _ = jax.lax.while_loop(
+        stack, stmin, sp, running, buf, cnt, iters, _ = jax.lax.while_loop(
             cond, body, init
         )
-        return stack, sp, buf, iters
+        return stack, stmin, sp, buf, iters
 
     def r_cond(c):
-        return jnp.logical_not(jnp.all(c[2])) & (c[5] < max_rounds)
+        return jnp.logical_not(jnp.all(c[3])) & (c[6] < max_rounds)
 
     def r_body(c):
-        stack, sp, done, best_t, best_tri, rounds, iters = c
-        stack, sp, buf, it1 = collect(stack, sp, ~done, best_t, march)
+        stack, stmin, sp, done, best_t, best_tri, rounds, iters = c
+        stack, stmin, sp, buf, it1 = collect(
+            stack, stmin, sp, ~done, best_t, march
+        )
         best_t, best_tri = test_windows(
             tree.win_data, buf, o, d, ex, ~done, best_t, best_tri,
-            min_t, top_index,
+            min_t, top_index, kernel=kernel,
         )
         done = done | (sp == 0)
-        return (stack, sp, done, best_t, best_tri, rounds + 1, iters + it1)
+        return (
+            stack, stmin, sp, done, best_t, best_tri, rounds + 1,
+            iters + it1,
+        )
 
     stack0 = jnp.full((N, S), 0, jnp.int32) + izero_v[:, None]
     stack0 = jnp.where(lanesS == 0, pseudo_root, stack0)
+    stmin0 = jnp.zeros((N, S), dtype) + vzero[:, None]
     sp0 = izero_v + 1
     init = (
         stack0,
+        stmin0,
         sp0,
         izero_v < 0,  # done
         jnp.full((N,), jnp.inf, dtype) + vzero,
@@ -310,7 +338,7 @@ def shoot_tree(
         izero_v,
     )
     out = jax.lax.while_loop(r_cond, r_body, init)
-    best_t, best_tri, iters = out[3], out[4], out[6]
+    best_t, best_tri, iters = out[4], out[5], out[7]
     hits = finalize_hits(scene, rays, best_t, best_tri, ktest)
     if with_stats:
         return hits, iters

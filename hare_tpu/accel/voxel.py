@@ -452,7 +452,7 @@ def shoot_grid(
     def test(buf, active, best_t, best_tri):
         return test_windows(
             grid.win_data, buf, o, d, ex, active, best_t, best_tri,
-            min_t, top_index,
+            min_t, top_index, kernel=kernel,
         )
 
     # ======== outer rounds: collect -> test -> resolve/resume ==============

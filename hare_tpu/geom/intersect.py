@@ -10,8 +10,11 @@ TPU-native re-expression of the reference's intersection core:
   is exactly a two-sided test, which is what the branch-free form computes:
   both windings collapse to sign-aware bounds checks on one determinant.
 - ``ray_triangle_watertight``: Woop/Benthin/Wald 2013 watertight variant —
-  the default for f32 TPU tracing (the reference is f64 everywhere; f32 needs
-  the watertight edge tests to avoid cracks along shared edges).
+  the default kernel of :class:`hare_tpu.accel.SpatialPartition` for f32 TPU
+  tracing (the reference is f64 everywhere; f32 needs the watertight edge
+  tests to avoid cracks along shared edges).  The same test in component-major
+  form drives candidate acceptance inside every accel traversal
+  (``accel/common.test_windows``).
 - ``ray_aabb``: slab test (``AABB_Main.cs:86-260``) in branchless form.
   The reference's second overload advances the ray origin to the box entry
   point in place; here ``ray_aabb`` returns ``(hit, t_near, t_far)`` and the
@@ -140,8 +143,19 @@ def ray_triangle_watertight(
     w_s = bx * ay - by * ax
 
     det = u_s + v_s + w_s
-    same_sign = ((u_s >= 0) & (v_s >= 0) & (w_s >= 0)) | (
-        (u_s <= 0) & (v_s <= 0) & (w_s <= 0)
+    # Relative-epsilon acceptance band: under jit XLA may contract the edge
+    # functions into FMAs, which breaks the exact antisymmetry the
+    # strictly-watertight argument relies on (a shared edge's function is the
+    # same two products in swapped order) — an edge ray could then be rejected
+    # by BOTH adjacent triangles.  Padding the sign test by a few ulps of the
+    # edge-function magnitude restores the no-crack guarantee; double-accepts
+    # at edges are idempotent under the min-t reduction (Embree's "robust"
+    # mode uses the same construction).
+    tol = 8.0 * jnp.finfo(u_s.dtype).eps * (
+        jnp.abs(u_s) + jnp.abs(v_s) + jnp.abs(w_s)
+    )
+    same_sign = ((u_s >= -tol) & (v_s >= -tol) & (w_s >= -tol)) | (
+        (u_s <= tol) & (v_s <= tol) & (w_s <= tol)
     )
     valid = same_sign & (jnp.abs(det) > det_eps)
 

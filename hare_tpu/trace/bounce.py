@@ -1,4 +1,4 @@
-"""Differentiable multi-bounce specular tracing (reference layer L4).
+"""Differentiable multi-bounce tracing (reference layer L4).
 
 The reference has no bounce loop of its own — its consumer (Pachyderm) loops
 ``Shoot -> reflect about Normal(Poly_id) -> new Ray with poly_origin1 = hit
@@ -13,6 +13,16 @@ multiplied by ``(1 - absorption[poly])`` — the hook that makes
 ``jax.grad(histogram)`` w.r.t. absorption (and, through the hit geometry,
 w.r.t. vertex positions) meaningful.  Per-bounce energies/times are scattered
 into a time-binned impulse-response histogram.
+
+Scattering (the consumer's surface-roughness model): each polygon carries a
+scattering coefficient ``s`` in [0, 1] splitting reflected energy between the
+specular direction (weight ``1 - s``) and a cosine-weighted diffuse lobe
+(weight ``s``).  The single-ray estimator keeps gradients pathwise exact in
+``s``: the branch is chosen by an *s-independent* fair coin (stateless
+per-bounce fold-in RNG), and the energy is reweighted by ``2 s`` on the
+diffuse branch / ``2 (1 - s)`` on the specular branch — unbiased
+(``E[energy] = s·diffuse + (1-s)·specular``) and differentiable in ``s``
+because the sampling distribution never depends on it.
 """
 
 from __future__ import annotations
@@ -27,7 +37,13 @@ from ..geom.math import dot, norm, normalize
 from ..geom.primitives import NO_POLY, HitRecord, Ray
 from ..mesh.scene import Scene
 
-__all__ = ["TraceResult", "reflect", "trace_rays", "energy_histogram"]
+__all__ = [
+    "TraceResult",
+    "reflect",
+    "cosine_lobe",
+    "trace_rays",
+    "energy_histogram",
+]
 
 SOUND_SPEED = 343.0  # m/s, for time binning
 
@@ -36,6 +52,39 @@ def reflect(direction: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
     """Specular reflection about a (not necessarily unit-consistent-sign)
     normal: invariant to the sign of ``normal``."""
     return direction - 2.0 * dot(direction, normal)[..., None] * normal
+
+
+def cosine_lobe(
+    key: jax.Array, normal: jnp.ndarray, incoming: jnp.ndarray
+) -> jnp.ndarray:
+    """Cosine-weighted hemisphere sample about the surface normal.
+
+    ``normal`` need not have a consistent sign; it is oriented against the
+    incoming direction (the physical reflection side).  Lambert's cosine law
+    is the standard acoustic diffuse-reflection model.
+    """
+    n = normal * -jnp.sign(dot(incoming, normal))[..., None]
+    shape = normal.shape[:-1]
+    k1, k2 = jax.random.split(key)
+    r1 = jax.random.uniform(k1, shape, normal.dtype)
+    r2 = jax.random.uniform(k2, shape, normal.dtype)
+    cz = jnp.sqrt(r1)  # cos(theta) ~ sqrt(u): pdf = cos/pi
+    rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - r1))
+    phi = 2.0 * jnp.pi * r2
+    # Orthonormal tangent frame (branchless Duff et al. construction).
+    nz = n[..., 2]
+    sg = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sg + nz)
+    b = n[..., 0] * n[..., 1] * a
+    t1 = jnp.stack(
+        [1.0 + sg * n[..., 0] ** 2 * a, sg * b, -sg * n[..., 0]], axis=-1
+    )
+    t2 = jnp.stack([b, sg + n[..., 1] ** 2 * a, -n[..., 1]], axis=-1)
+    return (
+        (rr * jnp.cos(phi))[..., None] * t1
+        + (rr * jnp.sin(phi))[..., None] * t2
+        + cz[..., None] * n
+    )
 
 
 class TraceResult(NamedTuple):
