@@ -38,9 +38,14 @@ from hare_tpu.utils import (
 def main(argv=None):
     p = HareConfig.parser()
     p.add_argument("--steps", type=int, default=60)
+    p.add_argument(
+        "--fit-scattering", action="store_true",
+        help="jointly recover per-surface scattering coefficients",
+    )
     ns = p.parse_args(argv)
     steps = ns.steps
-    del ns.__dict__["steps"]
+    fit_scattering = ns.fit_scattering
+    del ns.__dict__["steps"], ns.__dict__["fit_scattering"]
     cfg = HareConfig(**vars(ns))
 
     # --- scene: the concert hall with a hidden "true" absorption pattern.
@@ -57,16 +62,23 @@ def main(argv=None):
     o = jnp.tile(jnp.asarray([[15.0, 24.0, 8.0]], jnp.float32), (n, 1))
     rays = Ray.make(o, d)
 
-    # Hidden truth: wall-dependent absorption in [0.1, 0.7].
+    # Hidden truth: wall-dependent absorption in [0.1, 0.7] (and, with
+    # --fit-scattering, wall-dependent scattering in [0.2, 0.8]).
     rng = np.random.default_rng(cfg.seed)
     a_true = jnp.asarray(rng.uniform(0.1, 0.7, top.n_polys), jnp.float32)
     hist_fn = sharded_histogram(mesh, sp.shoot_fn, cfg.n_bounces, cfg.n_bins,
-                                cfg.bin_dt)
-    target = hist_fn(sp.scene, rays, a_true, sp.aux)
+                                cfg.bin_dt, use_scattering=fit_scattering)
+    extra = ()
+    if fit_scattering:
+        s_true = jnp.asarray(rng.uniform(0.2, 0.8, top.n_polys), jnp.float32)
+        extra = (s_true, key)
+    target = hist_fn(sp.scene, rays, a_true, sp.aux, *extra)
 
     # --- optimizer state (resume from checkpoint when present).
     opt = optax.adam(0.1)
     params = {"absorption": jnp.zeros(top.n_polys, jnp.float32)}
+    if fit_scattering:
+        params["scattering"] = jnp.zeros(top.n_polys, jnp.float32)
     opt_state = opt.init(params)
     state = {"params": params, "opt_state": opt_state, "rng": key,
              "cursor": jnp.asarray(0)}
@@ -77,21 +89,31 @@ def main(argv=None):
         print(f"resumed from step {start}")
 
     step_fn = make_train_step(mesh, sp.shoot_fn, opt, cfg.n_bounces,
-                              cfg.n_bins, cfg.bin_dt)
+                              cfg.n_bins, cfg.bin_dt,
+                              use_scattering=fit_scattering)
     log = MetricsLogger(cfg.metrics_path)
+    step_extra = (key,) if fit_scattering else ()
 
     params, opt_state = state["params"], state["opt_state"]
     for i in range(start, steps):
         params, opt_state, loss = step_fn(
-            params, opt_state, sp.scene, rays, target, sp.aux
+            params, opt_state, sp.scene, rays, target, sp.aux, *step_extra
         )
         if i % 10 == 0 or i == steps - 1:
             a_est = jax.nn.sigmoid(params["absorption"])
             err = float(jnp.abs(a_est - a_true).mean())
+            extra_log = {}
+            if fit_scattering:
+                s_est = jax.nn.sigmoid(params["scattering"])
+                extra_log["mean_abs_err_s"] = float(
+                    jnp.abs(s_est - s_true).mean()
+                )
             log.write(step=i, loss=float(loss), mean_abs_err=err,
-                      rays=n, bounces=cfg.n_bounces)
+                      rays=n, bounces=cfg.n_bounces, **extra_log)
             print(f"step {i:4d}  loss {float(loss):10.4f}  "
-                  f"mean |a-a*| {err:.4f}")
+                  f"mean |a-a*| {err:.4f}"
+                  + (f"  |s-s*| {extra_log['mean_abs_err_s']:.4f}"
+                     if fit_scattering else ""))
             if cfg.checkpoint_dir:
                 save_state(cfg.checkpoint_dir, i, {
                     "params": params, "opt_state": opt_state,
@@ -99,7 +121,8 @@ def main(argv=None):
                 })
 
     dt, _ = timed(
-        lambda: step_fn(params, opt_state, sp.scene, rays, target, sp.aux),
+        lambda: step_fn(params, opt_state, sp.scene, rays, target, sp.aux,
+                        *step_extra),
         iters=5,
     )
     print(f"steady-state step: {dt*1e3:.1f} ms  "

@@ -164,7 +164,9 @@ def build_tree_tables(
 
 @partial(
     jax.jit,
-    static_argnames=("kernel", "top_index", "with_stats", "cap", "march"),
+    static_argnames=(
+        "kernel", "top_index", "with_stats", "cap", "march", "ordered",
+    ),
 )
 def shoot_tree(
     scene: Scene,
@@ -175,7 +177,8 @@ def shoot_tree(
     top_index: Optional[int] = None,
     with_stats: bool = False,
     cap: int = 8,
-    march: int = 16,
+    march: int = 32,
+    ordered: bool = False,
 ):
     """Nearest-hit query via lockstep collect-then-test tree traversal."""
     ktest = _KERNELS[kernel]
@@ -274,7 +277,14 @@ def shoot_tree(
             # sort by descending tmin so the NEAREST child is on top of the
             # stack and pops first — best_t then tightens soonest.
             sp = jnp.where(expand, sp - 1, sp)
-            if K > 1:
+            if ordered and K > 1:
+                # Front-to-back push ordering (``ComputeTraversalOrder``,
+                # ``Octree - alt.cs:286-306``).  Measured on TPU: the
+                # in-loop sort/shuffle costs 2-3x more than the pops it
+                # saves — pop-time tmin pruning above already captures the
+                # benefit (identical iteration counts on the bench scene) —
+                # so ordering is OFF by default and kept as a knob for
+                # extremely divergence-heavy scenes.
                 key = jnp.where(push_hit, tmin, -jnp.inf)
                 order = jnp.argsort(-key, axis=1)
                 cid_p = jnp.take_along_axis(cid, order, 1)

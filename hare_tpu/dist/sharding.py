@@ -69,33 +69,48 @@ def sharded_histogram(
     bin_dt: float = 1e-3,
     sound_speed: float = SOUND_SPEED,
     axis: str = "rays",
+    use_scattering: bool = False,
 ):
-    """Build a jitted ``(scene, rays, absorption) -> histogram`` that shards
-    rays over the mesh and psums the per-device histograms.
+    """Build a jitted ``(scene, rays, absorption[, scattering, key]) ->
+    histogram`` that shards rays over the mesh and psums the per-device
+    histograms.
 
-    Differentiable in ``absorption`` (and ``scene.vertices``): shard_map's
-    transpose turns the replicated-in/psum-out structure into the gradient
-    all-reduce — no hand-written collectives.
+    Differentiable in ``absorption`` (and ``scattering``/``scene.vertices``):
+    shard_map's transpose turns the replicated-in/psum-out structure into the
+    gradient all-reduce — no hand-written collectives.
+
+    With ``use_scattering`` the PRNG key is replicated and folded with the
+    device's mesh position, so shards draw decorrelated scattering branches
+    (an estimator property, not a value identity: the sharded histogram is a
+    different — equally unbiased — Monte Carlo sample than single-device).
     """
 
-    def local(scene, rays, absorption, aux):
+    def local(scene, rays, absorption, aux, *rest):
+        kw = {}
+        if use_scattering:
+            s, key = rest
+            kw = dict(
+                scattering=s,
+                key=jax.random.fold_in(key, jax.lax.axis_index(axis)),
+            )
         res = trace_rays(
             scene, rays, absorption, n_bounces, shoot_fn, aux=aux,
-            sound_speed=sound_speed,
+            sound_speed=sound_speed, **kw,
         )
         hist = energy_histogram(res, n_bins, bin_dt)
         return jax.lax.psum(hist, axis)
 
+    extra = (P(), P()) if use_scattering else ()
     smap = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(), P()),
+        in_specs=(P(), P(axis), P(), P()) + extra,
         out_specs=P(),
     )
     jfn = jax.jit(smap)
 
-    def fn(scene, rays, absorption, aux=None):
-        return jfn(scene, rays, absorption, aux)
+    def fn(scene, rays, absorption, aux=None, *rest):
+        return jfn(scene, rays, absorption, aux, *rest)
 
     return fn
 
@@ -109,30 +124,39 @@ def make_train_step(
     bin_dt: float = 1e-3,
     fit_vertices: bool = False,
     axis: str = "rays",
+    use_scattering: bool = False,
 ):
     """A full sharded training step for inverse acoustic design.
 
-    Fits per-polygon absorption (and optionally vertex positions) so the
-    simulated impulse-response histogram matches a target — the end-to-end
-    use-case the differentiable tracer exists for.  Returns
-    ``step(params, opt_state, scene, rays, target) -> (params, opt_state,
-    loss)`` ready to jit over the mesh; gradients all-reduce inside.
+    Fits per-polygon absorption (optionally scattering coefficients and
+    vertex positions) so the simulated impulse-response histogram matches a
+    target — the end-to-end use-case the differentiable tracer exists for.
+    Returns ``step(params, opt_state, scene, rays, target, aux[, key]) ->
+    (params, opt_state, loss)`` ready to jit over the mesh; gradients
+    all-reduce inside.
 
-    params: dict with 'absorption' (P,) and optionally 'vertices' (V, 3).
+    params: dict with 'absorption' (P,); optionally 'scattering' (P,) (pass
+    ``use_scattering=True``) and 'vertices' (V, 3).
     """
 
-    def local_loss(params, scene, rays, target, aux):
+    def local_loss(params, scene, rays, target, aux, *rest):
         a = jax.nn.sigmoid(params["absorption"])  # keep in (0, 1)
         if fit_vertices:
             scene = scene.with_vertices(params["vertices"])
-        res = trace_rays(scene, rays, a, n_bounces, shoot_fn, aux=aux)
+        kw = {}
+        if use_scattering:
+            kw = dict(
+                scattering=jax.nn.sigmoid(params["scattering"]),
+                key=jax.random.fold_in(rest[0], jax.lax.axis_index(axis)),
+            )
+        res = trace_rays(scene, rays, a, n_bounces, shoot_fn, aux=aux, **kw)
         hist = energy_histogram(res, n_bins, bin_dt)
         hist = jax.lax.psum(hist, axis)
         return jnp.sum((hist - target) ** 2) / n_bins
 
-    def local_step(params, opt_state, scene, rays, target, aux):
+    def local_step(params, opt_state, scene, rays, target, aux, *rest):
         loss, grads = jax.value_and_grad(local_loss)(
-            params, scene, rays, target, aux
+            params, scene, rays, target, aux, *rest
         )
         # shard_map gives per-device identical replicated grads for unmapped
         # params (its transpose psums the batched contributions).
@@ -140,15 +164,16 @@ def make_train_step(
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss
 
+    extra = (P(),) if use_scattering else ()
     smap = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(), P()),
+        in_specs=(P(), P(), P(), P(axis), P(), P()) + extra,
         out_specs=(P(), P(), P()),
     )
     jstep = jax.jit(smap)
 
-    def step(params, opt_state, scene, rays, target, aux=None):
-        return jstep(params, opt_state, scene, rays, target, aux)
+    def step(params, opt_state, scene, rays, target, aux=None, *rest):
+        return jstep(params, opt_state, scene, rays, target, aux, *rest)
 
     return step

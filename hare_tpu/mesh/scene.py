@@ -44,6 +44,12 @@ class Scene(NamedTuple):
     tri_poly: jnp.ndarray  # (T,) i32 — polygon id (quad halves share)
     tri_top: jnp.ndarray  # (T,) i32 — topology index (Spatial_Partition.Model)
     poly_plane: jnp.ndarray  # (P,) i32 — plane group id per polygon
+    # Neighboring polygon across each triangle edge — edge k joins corners
+    # (k, (k+1)%3); NO_POLY (-1) where boundary or same-poly (quad diagonal).
+    # Backs the reference's second origin-exclusion slot (``poly_origin2``,
+    # ``Spatial_Partition.cs:33``): a reflection starting on an edge shared
+    # by two coplanar polygons must exclude both.
+    tri_edge_poly: jnp.ndarray  # (T, 3) i32
 
     @property
     def n_tris(self) -> int:

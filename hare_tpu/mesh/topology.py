@@ -405,10 +405,54 @@ def build_scene(
     poly_plane = np.concatenate(pp_parts, axis=0)
 
     T = len(tri_v)
+
+    # --- edge-neighbor polygons (poly_origin2 support): for each triangle
+    # edge (corner k -> k+1), the OTHER polygon sharing that vertex pair.
+    # Vectorized: sort all 3T canonical edges, pair up identical keys.
+    tri_edge_poly = np.full((T, 3), -1, np.int64)
+    if T:
+        ek = np.stack(
+            [tri_v[:, [0, 1]], tri_v[:, [1, 2]], tri_v[:, [2, 0]]], axis=1
+        ).reshape(-1, 2)  # (3T, 2)
+        ek.sort(axis=1)
+        key = ek[:, 0].astype(np.int64) * (v_off + 1) + ek[:, 1]
+        owner = np.repeat(tri_poly, 3).astype(np.int64)
+        slot = np.arange(3 * T)
+        order = np.argsort(key, kind="stable")
+        k_s, own_s, slot_s = key[order], owner[order], slot[order]
+        # Within each equal-key run, neighbor = another instance with a
+        # DIFFERENT poly id (manifold: runs of length <= 2 per poly pair;
+        # welded quads contribute two same-poly instances on the diagonal).
+        grp_start = np.concatenate([[True], k_s[1:] != k_s[:-1]])
+        gid = np.cumsum(grp_start) - 1
+        n_grp = int(gid[-1]) + 1 if len(gid) else 0
+        # Each run of equal keys is one geometric edge.  A member's neighbor
+        # is the run's first DIFFERENT poly id (manifold meshes have <= 2
+        # distinct polys per edge; non-manifold fans resolve to the first).
+        run_first = own_s[np.nonzero(grp_start)[0]][gid]
+        diff = own_s != run_first
+        sec = np.full(n_grp, -1, np.int64)
+        pos_diff = np.nonzero(diff)[0]
+        if len(pos_diff):
+            g_d = gid[pos_diff]
+            keep = np.concatenate([[True], g_d[1:] != g_d[:-1]])
+            sec[g_d[keep]] = own_s[pos_diff[keep]]
+        # Members matching the run's first poly get the second distinct poly
+        # (or -1); differing members get the first.
+        other = np.where(diff, run_first, sec[gid])
+        tep = np.full(3 * T, -1, np.int64)
+        tep[slot_s] = other
+        tri_edge_poly = tep.reshape(T, 3)
+        # Same-poly adjacency (quad diagonals) is useless for exclusion.
+        tri_edge_poly[tri_edge_poly == np.repeat(tri_poly, 3).reshape(T, 3)] = -1
+
     Tp = _ceil_to(T, pad_to)
     tri_v = np.concatenate([tri_v, np.zeros((Tp - T, 3), np.int32)])
     tri_poly = np.concatenate([tri_poly, np.full(Tp - T, PAD_POLY, np.int32)])
     tri_top = np.concatenate([tri_top, np.full(Tp - T, -1, np.int32)])
+    tri_edge_poly = np.concatenate(
+        [tri_edge_poly, np.full((Tp - T, 3), -1, np.int64)]
+    )
 
     return Scene(
         vertices=jnp.asarray(vertices, dtype),
@@ -416,6 +460,7 @@ def build_scene(
         tri_poly=jnp.asarray(tri_poly),
         tri_top=jnp.asarray(tri_top),
         poly_plane=jnp.asarray(poly_plane),
+        tri_edge_poly=jnp.asarray(tri_edge_poly.astype(np.int32)),
     )
 
 

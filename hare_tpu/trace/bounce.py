@@ -46,6 +46,9 @@ __all__ = [
 ]
 
 SOUND_SPEED = 343.0  # m/s, for time binning
+# Barycentric proximity below which a hit counts as "on an edge" for the
+# second origin-exclusion slot (poly_origin2).
+EDGE_EPS = 1e-4
 
 
 def reflect(direction: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
@@ -100,7 +103,7 @@ class TraceResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("shoot_fn", "n_bounces", "sound_speed"),
+    static_argnames=("shoot_fn", "n_bounces", "sound_speed", "remat"),
 )
 def trace_rays(
     scene: Scene,
@@ -109,9 +112,12 @@ def trace_rays(
     n_bounces: int,
     shoot_fn: Callable[..., HitRecord],
     aux=None,
+    scattering: Optional[jnp.ndarray] = None,
+    key: Optional[jax.Array] = None,
     sound_speed: float = SOUND_SPEED,
+    remat: bool = False,
 ) -> TraceResult:
-    """Trace ``rays`` for up to ``n_bounces`` specular reflections.
+    """Trace ``rays`` for up to ``n_bounces`` reflections.
 
     Args:
       scene: compiled Scene.
@@ -119,6 +125,7 @@ def trace_rays(
         true metric length).
       absorption: ``(P,)`` per-polygon energy absorption coefficients in
         [0, 1] — the differentiable material parameter.
+      n_bounces: static max bounce count (the scan length).
       shoot_fn: any ``(scene, rays[, aux]) -> HitRecord`` backend (brute,
         grid, octree, KD — the ``Spatial_Partition`` polymorphism).
       aux: accel-structure pytree passed through to ``shoot_fn``.  MUST be
@@ -126,9 +133,23 @@ def trace_rays(
         non-trivial structures: closed-over device arrays become embedded
         jit constants, which XLA then constant-folds across the traversal
         loops — compile times and step times blow up by orders of magnitude.
+      scattering: optional ``(P,)`` per-polygon scattering coefficients in
+        [0, 1]: at each hit the reflection is specular or cosine-diffuse by
+        a fair coin, with the energy reweighted ``2(1-s)`` / ``2s`` — an
+        unbiased estimator differentiable in ``s`` (module docstring).
+        ``None`` -> pure specular.
+      key: PRNG key for the scattering branches/lobes (required when
+        ``scattering`` is given); per-bounce keys are fold-ins, so the same
+        key gives a bitwise-deterministic trace.
+      remat: rematerialize each bounce in the backward pass
+        (``jax.checkpoint``) — O(1) live activations in bounce depth, for
+        the deep reverb tails room acoustics needs (SURVEY.md §5
+        "long-context analog").
     """
     d0 = normalize(rays.direction)
     n = rays.origin.shape[0]
+    if scattering is not None and key is None:
+        raise ValueError("scattering requires a PRNG key")
 
     class _S(NamedTuple):
         origin: jnp.ndarray
@@ -151,7 +172,7 @@ def trace_rays(
         alive=vzero < 1.0,
     )
 
-    def body(s: _S, _):
+    def body(s: _S, bounce_key):
         r = Ray(s.origin, s.direction, s.exclude)
         hr = shoot_fn(scene, r) if aux is None else shoot_fn(scene, r, aux)
         live_hit = hr.hit & s.alive
@@ -167,7 +188,20 @@ def trace_rays(
 
         pid = jnp.maximum(hr.poly_id, 0)
         a = absorption[pid]
-        energy = jnp.where(live_hit, s.energy * (1.0 - a), s.energy)
+        energy = s.energy * (1.0 - a)
+
+        new_dir = reflect(s.direction, n_hat)
+        if scattering is not None:
+            sc = scattering[pid]
+            kb, kd = jax.random.split(bounce_key)
+            # Fair coin (s-INDEPENDENT, so grads in s are pathwise exact);
+            # importance weight 2s / 2(1-s) keeps the estimator unbiased.
+            diffuse = jax.random.bernoulli(kb, 0.5, (n,))
+            energy = energy * jnp.where(diffuse, 2.0 * sc, 2.0 * (1.0 - sc))
+            diff_dir = cosine_lobe(kd, n_hat, s.direction)
+            new_dir = jnp.where(diffuse[:, None], diff_dir, new_dir)
+
+        energy = jnp.where(live_hit, energy, s.energy)
         dist = s.dist + jnp.where(live_hit, hr.t, 0.0)
 
         out = (
@@ -179,10 +213,26 @@ def trace_rays(
             jnp.where(live_hit, hr.t, jnp.inf),
         )
 
-        new_dir = reflect(s.direction, n_hat)
+        # Second exclusion slot (poly_origin2, Spatial_Partition.cs:33):
+        # when the reflection point lies on a triangle edge shared with a
+        # COPLANAR polygon, that polygon must be excluded too (the f32
+        # origin can round to its far side and re-hit it at tiny t).
+        # Barycentric edge proximity: w = weight(v0), u = weight(v1),
+        # v = weight(v2); edge k joins corners (k, k+1).
+        w_b = 1.0 - hr.u - hr.v
+        bary = jnp.stack([hr.v, w_b, hr.u], axis=-1)  # edge 0/1/2 distance
+        edge_k = jnp.argmin(bary, axis=-1)
+        on_edge = jnp.min(bary, axis=-1) < EDGE_EPS
+        nbr = jnp.take_along_axis(
+            scene.tri_edge_poly[tri], edge_k[:, None], axis=-1
+        )[:, 0]
+        coplanar = (nbr >= 0) & (
+            scene.poly_plane[jnp.maximum(nbr, 0)] == scene.poly_plane[pid]
+        )
+        ex2 = jnp.where(live_hit & on_edge & coplanar, nbr, NO_POLY)
         exclude = jnp.stack(
-            [jnp.where(live_hit, hr.poly_id, NO_POLY)] * 2, axis=-1
-        ).at[..., 1].set(NO_POLY)
+            [jnp.where(live_hit, hr.poly_id, NO_POLY), ex2], axis=-1
+        )
         nxt = _S(
             origin=jnp.where(live_hit[:, None], hr.point, s.origin),
             direction=jnp.where(live_hit[:, None], new_dir, s.direction),
@@ -193,8 +243,13 @@ def trace_rays(
         )
         return nxt, out
 
+    if scattering is not None:
+        xs = jax.random.split(key, n_bounces)
+    else:
+        xs = jnp.zeros((n_bounces, 2), jnp.uint32)  # unused placeholder
+    body_fn = jax.checkpoint(body) if remat else body
     _, (hit, energy, time, poly, point, t) = jax.lax.scan(
-        body, init, None, length=n_bounces
+        body_fn, init, xs, length=n_bounces
     )
     return TraceResult(hit, energy, time, poly, point, t)
 

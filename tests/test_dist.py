@@ -73,3 +73,41 @@ def test_train_step_descends():
         params, opt_state, loss = step(params, opt_state, sp.scene, rays, target)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.1, losses
+
+
+def test_sharded_scattering_train_step():
+    """Sharded joint (absorption, scattering) fit: decorrelated per-shard
+    RNG, loss decreases, grads finite for both coefficient sets."""
+    top, sp, a_true, rays = setup(n_rays=512)
+    mesh = make_ray_mesh(8)
+    s_true = jnp.full(top.n_polys, 0.6, jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    fn = sharded_histogram(
+        mesh, sp.shoot_fn, n_bounces=3, n_bins=128, use_scattering=True
+    )
+    target = fn(sp.scene, rays, a_true, None, s_true, key)
+    assert np.isfinite(np.asarray(target)).all()
+    # Determinism: same key -> bitwise-same sharded histogram.
+    np.testing.assert_array_equal(
+        np.asarray(target),
+        np.asarray(fn(sp.scene, rays, a_true, None, s_true, key)),
+    )
+
+    opt = optax.adam(0.1)
+    step = make_train_step(
+        mesh, sp.shoot_fn, opt, n_bounces=3, n_bins=128, use_scattering=True
+    )
+    params = {
+        "absorption": jnp.zeros(top.n_polys),
+        "scattering": jnp.zeros(top.n_polys),
+    }
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(15):
+        params, opt_state, loss = step(
+            params, opt_state, sp.scene, rays, target, None, key
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.2, losses
+    assert np.isfinite(np.asarray(params["scattering"])).all()

@@ -143,3 +143,124 @@ def test_grad_vertices_smooth(rng):
         fp = float(loss(v0.at[i, j].add(eps)))
         fd = (fp - f0) / eps
         np.testing.assert_allclose(g[i, j], fd, rtol=0.08, atol=1e-5)
+
+
+def test_scattering_unbiased_and_deterministic(rng):
+    """Fair-coin diffuse/specular split: E[energy] independent of s at the
+    first bounce; same key => bitwise-identical trace (SURVEY.md §5 race
+    detection analog)."""
+    top, _ = make_room()
+    sc = top.scene()
+    a = jnp.full(top.n_polys, 0.3, jnp.float32)
+    o = jnp.tile(jnp.array([2.0, 2.5, 1.5], jnp.float32), (4096, 1))
+    d = uniform_sphere(jax.random.PRNGKey(1), 4096)
+    rays = Ray.make(o, d)
+    key = jax.random.PRNGKey(5)
+    for s_val in (0.0, 0.5, 1.0):
+        s = jnp.full(top.n_polys, s_val, jnp.float32)
+        res = trace_rays(sc, rays, a, 3, shoot_brute, scattering=s, key=key)
+        # First-bounce mean energy ~ (1-a) = 0.7 for any s (unbiased split;
+        # per-ray std is 0.7 at the extremes -> SE ~ 0.011 at n=4096).
+        assert abs(float(res.energy[0].mean()) - 0.7) < 0.05, s_val
+    s = jnp.full(top.n_polys, 0.4, jnp.float32)
+    r1 = trace_rays(sc, rays, a, 3, shoot_brute, scattering=s, key=key)
+    r2 = trace_rays(sc, rays, a, 3, shoot_brute, scattering=s, key=key)
+    for x, y in zip(jax.tree.leaves(r1), jax.tree.leaves(r2)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_grad_scattering_fd(rng):
+    """d(histogram)/d(scattering) matches finite differences (fixed key)."""
+    top, absorption = make_room()
+    sc = top.scene()
+    a = jnp.asarray(absorption, jnp.float32)
+    o = rng.uniform((1.0, 1.0, 1.0), (3.0, 4.0, 2.0), (64, 3)).astype(np.float32)
+    dirs = rng.normal(0, 1, (64, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rays = Ray.make(o, dirs)
+    key = jax.random.PRNGKey(11)
+
+    def loss(s):
+        res = trace_rays(sc, rays, a, 3, shoot_brute, scattering=s, key=key)
+        return jnp.sum(energy_histogram(res, n_bins=256, bin_dt=1e-3))
+
+    s0 = jnp.full(top.n_polys, 0.35, jnp.float32)
+    g = np.asarray(jax.grad(loss)(s0))
+    assert np.isfinite(g).all() and (np.abs(g) > 1e-6).any()
+    f0 = float(loss(s0))
+    for k in np.argsort(-np.abs(g))[:3]:
+        eps = 1e-3
+        fp = float(loss(s0.at[k].add(eps)))
+        fd = (fp - f0) / eps
+        np.testing.assert_allclose(g[k], fd, rtol=0.05, atol=1e-3)
+
+
+def test_joint_absorption_scattering_recovery():
+    """Inverse design: recover hidden (absorption, scattering) jointly from
+    a target histogram by gradient descent (the north star's grads w.r.t.
+    'absorption/scattering coefficients')."""
+    import optax
+
+    top, _ = make_room()
+    sc = top.scene()
+    o = jnp.tile(jnp.array([2.0, 2.5, 1.5], jnp.float32), (256, 1))
+    d = uniform_sphere(jax.random.PRNGKey(2), 256)
+    rays = Ray.make(o, d)
+    key = jax.random.PRNGKey(9)
+
+    a_true = jnp.full(top.n_polys, 0.35, jnp.float32)
+    s_true = jnp.full(top.n_polys, 0.6, jnp.float32)
+
+    def hist(a, s):
+        res = trace_rays(
+            sc, rays, a, 4, shoot_brute, scattering=s, key=key
+        )
+        return energy_histogram(res, n_bins=64, bin_dt=2e-3)
+
+    target = hist(a_true, s_true)
+
+    def loss(params):
+        a = jax.nn.sigmoid(params["la"])
+        s = jax.nn.sigmoid(params["ls"])
+        h = hist(a, s)
+        return jnp.mean((h - target) ** 2)
+
+    params = {
+        "la": jnp.zeros(top.n_polys, jnp.float32),
+        "ls": jnp.zeros(top.n_polys, jnp.float32),
+    }
+    opt = optax.adam(0.1)
+    state = opt.init(params)
+    step = jax.jit(
+        lambda p, st: (lambda l, g: (l, *opt.update(g, st, p)))(
+            *jax.value_and_grad(loss)(p)
+        )
+    )
+    for _ in range(120):
+        l, upd, state = step(params, state)
+        params = jax.tree.map(lambda x, u: x + u, params, upd)
+    a_fit = np.asarray(jax.nn.sigmoid(params["la"]))
+    s_fit = np.asarray(jax.nn.sigmoid(params["ls"]))
+    # Same fixed key => loss is smooth and the optimum is the true pair.
+    assert np.abs(a_fit - 0.35).mean() < 0.05, a_fit
+    assert np.abs(s_fit - 0.6).mean() < 0.15, s_fit
+
+
+def test_remat_matches_plain(rng):
+    """jax.checkpoint per bounce: identical values and gradients."""
+    top, absorption = make_room()
+    sc = top.scene()
+    a0 = jnp.asarray(absorption, jnp.float32)
+    o = rng.uniform((1.0, 1.0, 1.0), (3.0, 4.0, 2.0), (32, 3)).astype(np.float32)
+    dirs = rng.normal(0, 1, (32, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rays = Ray.make(o, dirs)
+
+    def loss(a, remat):
+        res = trace_rays(sc, rays, a, 8, shoot_brute, remat=remat)
+        return jnp.sum(energy_histogram(res, n_bins=256, bin_dt=1e-3))
+
+    v1, g1 = jax.value_and_grad(lambda a: loss(a, False))(a0)
+    v2, g2 = jax.value_and_grad(lambda a: loss(a, True))(a0)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
