@@ -102,3 +102,76 @@ def test_timed_runs():
     f = jax.jit(lambda x: x * 2.0)
     dt, out = timed(f, jnp.ones(128), iters=3)
     assert dt >= 0 and float(out[0]) == 2.0
+
+
+def test_fault_injection_resume(tmp_path):
+    """SURVEY.md §5 failure detection: kill an optimization sweep mid-flight,
+    restart from the latest checkpoint, and verify the resumed run reaches a
+    bitwise-identical final state to an uninterrupted run (fail-fast +
+    restart-from-checkpoint is the whole recovery contract)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hare_tpu.geom import Ray
+    from hare_tpu.accel import SpatialPartition
+    from hare_tpu.mesh import Topology, shapes
+    from hare_tpu.trace import energy_histogram, trace_rays, uniform_sphere
+    from hare_tpu.utils import latest_step, restore_state, save_state
+
+    top = Topology.build(shapes.shoebox(4, 5, 3))
+    sp = SpatialPartition(top, accel="grid", domain=4)
+    d = uniform_sphere(jax.random.PRNGKey(0), 64)
+    o = jnp.tile(jnp.array([2.0, 2.5, 1.5], jnp.float32), (64, 1))
+    rays = Ray.make(o, d)
+    a_true = jnp.full(top.n_polys, 0.4, jnp.float32)
+
+    def hist(a):
+        res = trace_rays(sp.scene, rays, a, 3, sp.shoot_fn, aux=sp.aux)
+        return energy_histogram(res, 64, 1e-3)
+
+    target = hist(a_true)
+    opt = optax.adam(0.1)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss(p):
+            return jnp.sum((hist(jax.nn.sigmoid(p["a"])) - target) ** 2)
+
+        l, g = jax.value_and_grad(loss)(params)
+        upd, opt_state = opt.update(g, opt_state, params)
+        return jax.tree.map(lambda x, u: x + u, params, upd), opt_state, l
+
+    ckdir = str(tmp_path / "ck")
+
+    def sweep(n_steps, fail_at=None):
+        params = {"a": jnp.zeros(top.n_polys, jnp.float32)}
+        opt_state = opt.init(params)
+        start = 0
+        if latest_step(ckdir) is not None:
+            st = restore_state(ckdir, {"params": params,
+                                       "opt_state": opt_state,
+                                       "cursor": jnp.asarray(0)})
+            params, opt_state = st["params"], st["opt_state"]
+            start = int(st["cursor"])
+        for i in range(start, n_steps):
+            if fail_at is not None and i == fail_at:
+                raise RuntimeError("injected host failure")
+            params, opt_state, _ = step(params, opt_state)
+            save_state(ckdir, i, {"params": params, "opt_state": opt_state,
+                                  "cursor": jnp.asarray(i + 1)})
+        return params
+
+    # Uninterrupted reference.
+    ref = sweep(6)
+    import shutil
+
+    shutil.rmtree(ckdir)
+    # Interrupted at step 3, then resumed.
+    try:
+        sweep(6, fail_at=3)
+        assert False, "fault was not injected"
+    except RuntimeError:
+        pass
+    resumed = sweep(6)
+    np.testing.assert_array_equal(np.asarray(ref["a"]), np.asarray(resumed["a"]))
