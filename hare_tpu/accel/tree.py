@@ -49,7 +49,6 @@ import jax.numpy as jnp
 from ..geom.intersect import MIN_T
 from ..geom.primitives import HitRecord, Ray
 from ..mesh.scene import Scene
-from .brute import _KERNELS
 from .common import finalize_hits, pack_windows, test_windows
 
 __all__ = ["TreeTables", "build_tree_tables", "shoot_tree"]
@@ -181,7 +180,6 @@ def shoot_tree(
     ordered: bool = False,
 ):
     """Nearest-hit query via lockstep collect-then-test tree traversal."""
-    ktest = _KERNELS[kernel]
     K = tree.branch
     # A single node expansion must always fit the buffer, else no progress.
     C = max(int(cap), tree.max_node_need)
@@ -349,7 +347,7 @@ def shoot_tree(
     )
     out = jax.lax.while_loop(r_cond, r_body, init)
     best_t, best_tri, iters = out[4], out[5], out[7]
-    hits = finalize_hits(scene, rays, best_t, best_tri, ktest)
+    hits = finalize_hits(scene, rays, best_t, best_tri, kernel)
     if with_stats:
         return hits, iters
     return hits

@@ -61,7 +61,6 @@ from ..geom.primitives import HitRecord, Ray
 from ..geom.tribox import tri_box_overlap
 from ..mesh.scene import Scene
 from ..mesh.topology import Topology
-from .brute import _KERNELS
 from .common import WIN, finalize_hits, pack_windows, test_windows
 
 __all__ = ["VoxelGrid", "build_voxel_grid", "shoot_grid"]
@@ -305,7 +304,6 @@ def shoot_grid(
     With ``with_stats=True`` returns ``(HitRecord, per_ray_iterations)`` —
     per-ray phase-1 iteration counts (SURVEY.md §5 observability).
     """
-    ktest = _KERNELS[kernel]
     nx, ny, nz = grid.dims
     dims = jnp.array(grid.dims, jnp.int32)
     null_row = grid.win_data.shape[0] - 1
@@ -336,26 +334,44 @@ def shoot_grid(
     )
     valid_ray = jnp.isfinite(t0)
 
-    # ---- DDA setup (Voxel_Grid.cs:379-422), batched (N, 3)
-    safe_d = jnp.where(d == 0, 1.0, d)
-    step = jnp.where(d > 0, 1, jnp.where(d < 0, -1, 0)).astype(jnp.int32)
-    t_delta = jnp.where(d == 0, inf, grid.voxel_size / jnp.abs(safe_d))
-    min_delta = jnp.min(t_delta, axis=1)  # (N,) for the skip jump
+    # ---- DDA setup (Voxel_Grid.cs:379-422), as SoA (N,) components.
+    # (N, 3) arrays occupy 3 of 128 lanes per tile on TPU, so every
+    # elementwise op in the marching loop would pay ~5x tile overhead;
+    # profiled: the (N, 3) form of this body cost 0.27 ms/iter at 32k rays
+    # vs a ~0.1 ms gather-bound floor.  All loop state is (N,) per axis.
+    ocmp = (o[:, 0], o[:, 1], o[:, 2])
+    dcmp = (d[:, 0], d[:, 1], d[:, 2])
+    gmin_c = [grid.grid_min[c] for c in range(3)]
+    vox_c = [grid.voxel_size[c] for c in range(3)]
+    dims_c = grid.dims
+
+    safe_d = [jnp.where(dc == 0, 1.0, dc) for dc in dcmp]
+    step_c = [
+        jnp.where(dc > 0, 1, jnp.where(dc < 0, -1, 0)).astype(jnp.int32)
+        for dc in dcmp
+    ]
+    t_delta = [
+        jnp.where(dc == 0, inf, vox_c[c] / jnp.abs(safe_d[c]))
+        for c, dc in enumerate(dcmp)
+    ]
+    min_delta = jnp.minimum(jnp.minimum(t_delta[0], t_delta[1]), t_delta[2])
 
     def locate(t_at):
-        """Cell indices + per-axis t_max for the position at parameter t."""
-        pos = o + t_at[:, None] * d
-        cell = jnp.clip(
-            jnp.floor((pos - grid.grid_min) / grid.voxel_size).astype(jnp.int32),
-            0,
-            dims - 1,
-        )
-        nxt = grid.grid_min + (cell + (d > 0)) * grid.voxel_size
-        t_max = jnp.where(d == 0, inf, (nxt - o) / safe_d)
-        return cell, t_max
-
-    def linearize(cell):
-        return (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
+        """Per-axis cell index + t_max for the position at parameter t."""
+        cell, t_max = [], []
+        for c in range(3):
+            pos = ocmp[c] + t_at * dcmp[c]
+            cl = jnp.clip(
+                jnp.floor((pos - gmin_c[c]) / vox_c[c]).astype(jnp.int32),
+                0,
+                dims_c[c] - 1,
+            )
+            nxt = gmin_c[c] + (cl + (dcmp[c] > 0)) * vox_c[c]
+            t_max.append(
+                jnp.where(dcmp[c] == 0, inf, (nxt - ocmp[c]) / safe_d[c])
+            )
+            cell.append(cl)
+        return tuple(cell), tuple(t_max)
 
     cell0, t_max0 = locate(jnp.where(valid_ray, t0, 0.0))
 
@@ -367,10 +383,9 @@ def shoot_grid(
     lanes = jnp.arange(C, dtype=jnp.int32)[None, :]  # (1, C)
 
     # ======== phase 1: meta-only DDA march collecting candidate windows ====
-    # The body is kept to a handful of fusions and exactly ONE gather — the
-    # per-iteration floor inside a TPU while loop is set by the op count,
-    # so the advance logic is pure mask arithmetic (no argmin/one_hot/
-    # take_along_axis, each of which lowers to an extra gather or relayout).
+    # The body is kept to a handful of (N,)-wide fusions and exactly ONE
+    # gather — no argmin/one_hot/take_along_axis (extra gathers/relayouts),
+    # no (N, 3) arrays (lane waste).
     def collect(cell, t_max, t_enter, active, best_t, steps_cap):
         """March until off-grid, buffer full, past best_t, or steps_cap."""
 
@@ -380,7 +395,10 @@ def shoot_grid(
         def p1_body(s):
             (cell, t_max, t_enter, collecting, buf, cnt, iters, paused,
              steps) = s
-            meta = grid.cell_meta[linearize(cell)]  # the ONLY in-loop gather
+            cx, cy, cz = cell
+            tmx, tmy, tmz = t_max
+            lin = (cx * ny + cy) * nz + cz
+            meta = grid.cell_meta[lin]  # the ONLY in-loop gather
             ws = meta[:, 0]
             w = jax.lax.shift_right_logical(meta[:, 1], 8)
             dist = meta[:, 1] & 0xFF
@@ -401,26 +419,35 @@ def shoot_grid(
 
             # Advance via DDA step (mask form: ties advance several axes at
             # once — a legal diagonal step) or distance-field jump (>= 2).
-            t_exit = jnp.min(t_max, axis=1)
+            t_exit = jnp.minimum(jnp.minimum(tmx, tmy), tmz)
             do_jump = dist >= 2
             move = collecting & ~pause
-
-            adv = (t_max <= t_exit[:, None]) & move[:, None] & ~do_jump[:, None]
-            cell_s = cell + jnp.where(adv, step, 0)
-            t_max_s = t_max + jnp.where(adv, t_delta, 0.0)
-
+            stepping = move & ~do_jump
+            jumping = move & do_jump
             t_jump = t_exit + (dist.astype(dtype) - 1.0) * min_delta
-            jumping = (move & do_jump)[:, None]
-            pos_j = o + (t_jump + 1e-4 * min_delta)[:, None] * d
-            cell_j = jnp.floor(
-                (pos_j - grid.grid_min) / grid.voxel_size
-            ).astype(jnp.int32)
-            cell = jnp.where(jumping, cell_j, cell_s)
-            off = jnp.any((cell < 0) | (cell >= dims), axis=-1) & move
-            cell = jnp.clip(cell, 0, dims - 1)
-            nxt = grid.grid_min + (cell + (d > 0)) * grid.voxel_size
-            t_max_j = jnp.where(d == 0, inf, (nxt - o) / safe_d)
-            t_max = jnp.where(jumping, t_max_j, t_max_s)
+            t_land = t_jump + 1e-4 * min_delta
+
+            new_cell, new_tmax, off = [], [], jnp.zeros_like(move)
+            for c, (cl, tm) in enumerate(
+                zip((cx, cy, cz), (tmx, tmy, tmz))
+            ):
+                adv = stepping & (tm <= t_exit)
+                cl_s = cl + jnp.where(adv, step_c[c], 0)
+                tm_s = tm + jnp.where(adv, t_delta[c], 0.0)
+                pos_j = ocmp[c] + t_land * dcmp[c]
+                cl_j = jnp.floor(
+                    (pos_j - gmin_c[c]) / vox_c[c]
+                ).astype(jnp.int32)
+                cl = jnp.where(jumping, cl_j, cl_s)
+                off = off | ((cl < 0) | (cl >= dims_c[c]))
+                cl = jnp.clip(cl, 0, dims_c[c] - 1)
+                nxt = gmin_c[c] + (cl + (dcmp[c] > 0)) * vox_c[c]
+                tm_j = jnp.where(
+                    dcmp[c] == 0, inf, (nxt - ocmp[c]) / safe_d[c]
+                )
+                new_cell.append(cl)
+                new_tmax.append(jnp.where(jumping, tm_j, tm_s))
+            off = off & move
             t_enter = jnp.where(
                 move, jnp.where(do_jump, t_jump, t_exit), t_enter
             )
@@ -429,8 +456,8 @@ def shoot_grid(
             # the best hit found in earlier rounds (t-pruning).
             collecting = move & ~off & (t_enter <= best_t)
             iters = iters + collecting.astype(jnp.int32)
-            return (cell, t_max, t_enter, collecting, buf, cnt, iters,
-                    paused, steps + 1)
+            return (tuple(new_cell), tuple(new_tmax), t_enter, collecting,
+                    buf, cnt, iters, paused, steps + 1)
 
         init = (
             cell, t_max, t_enter, active,
@@ -498,7 +525,7 @@ def shoot_grid(
     )
     out = jax.lax.while_loop(r_cond, r_body, init)
     best_t, best_tri, rounds, iters = out[4], out[5], out[6], out[7]
-    hits = finalize_hits(scene, rays, best_t, best_tri, ktest)
+    hits = finalize_hits(scene, rays, best_t, best_tri, kernel)
     if with_stats:
         return hits, iters, rounds
     return hits
