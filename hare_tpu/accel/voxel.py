@@ -310,6 +310,9 @@ def shoot_grid(
     # Buffer must hold at least the fattest single cell, else it can never
     # make progress through that cell.
     C = max(int(cap), grid.max_cell_wins, 1)
+    # Occupied-cell runs collected per round (phase-1 keeps only (start,
+    # width) pairs; the (N, C) window-row buffer is expanded ONCE per round).
+    K = max(C // 2, 1)
     # Phase-1 march bound: the 3(n-1)+3 DDA walk.
     p1_steps_max = nx + ny + nz + 3
     # Outer bound: every two rounds progress at least one cell.
@@ -345,16 +348,20 @@ def shoot_grid(
     vox_c = [grid.voxel_size[c] for c in range(3)]
     dims_c = grid.dims
 
-    safe_d = [jnp.where(dc == 0, 1.0, dc) for dc in dcmp]
-    step_c = [
+    safe_d = tuple(jnp.where(dc == 0, 1.0, dc) for dc in dcmp)
+    step_c = tuple(
         jnp.where(dc > 0, 1, jnp.where(dc < 0, -1, 0)).astype(jnp.int32)
         for dc in dcmp
-    ]
-    t_delta = [
+    )
+    t_delta = tuple(
         jnp.where(dc == 0, inf, vox_c[c] / jnp.abs(safe_d[c]))
         for c, dc in enumerate(dcmp)
-    ]
+    )
     min_delta = jnp.minimum(jnp.minimum(t_delta[0], t_delta[1]), t_delta[2])
+
+    # Per-ray context: every per-ray constant phase 1/2 reads.  Bundled so
+    # the straggler rounds can GATHER a compacted copy (see below).
+    rctx = (ocmp, dcmp, safe_d, step_c, t_delta, min_delta, o, d, ex)
 
     def locate(t_at):
         """Per-axis cell index + t_max for the position at parameter t."""
@@ -381,20 +388,35 @@ def shoot_grid(
     izero_v = vzero.astype(jnp.int32)
     izero = jnp.sum(izero_v)
     lanes = jnp.arange(C, dtype=jnp.int32)[None, :]  # (1, C)
+    lanes_k = jnp.arange(K, dtype=jnp.int32)[None, :]  # (1, K)
 
     # ======== phase 1: meta-only DDA march collecting candidate windows ====
     # The body is kept to a handful of (N,)-wide fusions and exactly ONE
     # gather — no argmin/one_hot/take_along_axis (extra gathers/relayouts),
-    # no (N, 3) arrays (lane waste).
-    def collect(cell, t_max, t_enter, active, best_t, steps_cap):
-        """March until off-grid, buffer full, past best_t, or steps_cap."""
+    # no (N, 3) arrays (lane waste).  Occupied cells append only their
+    # (row_start, n_rows) RUN into a narrow (n, K) pair of buffers — the
+    # (n, C) window-row expansion happens ONCE per round after the loop
+    # (profiled: the in-loop (N, C) select was ~60% of the body's VPU work).
+    def collect(ctx, cell, t_max, t_enter, active, best_t, steps_cap,
+                min_active=0):
+        """March until off-grid, buffer full, past best_t, or steps_cap.
+
+        ``min_active > 0``: also stop once at most that many rays are still
+        collecting — the adaptive handoff from the full-width round to the
+        compacted straggler rounds (lockstep cost is per-lane-step; marching
+        N lanes for a sub-NS straggler set wastes N/NS of the work).
+        """
+        (ocmp, dcmp, safe_d, step_c, t_delta, min_delta, _, _, _) = ctx
+        izv = cell[0] * 0  # varying zero at this width
+        n = cell[0].shape[0]
 
         def p1_cond(s):
-            return jnp.logical_not(jnp.all(~s[3])) & (s[8] < steps_cap)
+            n_coll = jnp.sum(s[3].astype(jnp.int32))
+            return (n_coll > min_active) & (s[9] < steps_cap)
 
         def p1_body(s):
-            (cell, t_max, t_enter, collecting, buf, cnt, iters, paused,
-             steps) = s
+            (cell, t_max, t_enter, collecting, wsb, wb, cnt_c, cnt_w,
+             iters, steps, paused) = s
             cx, cy, cz = cell
             tmx, tmy, tmz = t_max
             lin = (cx * ny + cy) * nz + cz
@@ -403,18 +425,19 @@ def shoot_grid(
             w = jax.lax.shift_right_logical(meta[:, 1], 8)
             dist = meta[:, 1] & 0xFF
 
-            # Append this cell's windows to the per-ray buffer.
-            fits = cnt + w <= C
-            take = collecting & fits
-            sel = take[:, None] & (lanes >= cnt[:, None]) & (
-                lanes < (cnt + w)[:, None]
-            )
-            buf = jnp.where(sel, ws[:, None] + (lanes - cnt[:, None]), buf)
-            cnt = cnt + jnp.where(take, w, 0)
+            # Append this occupied cell's window RUN to the per-ray list.
+            need = w > 0
+            fits = (cnt_w + w <= C) & (cnt_c < K)
+            take = collecting & need & fits
+            tk = take[:, None] & (lanes_k == cnt_c[:, None])
+            wsb = jnp.where(tk, ws[:, None], wsb)
+            wb = jnp.where(tk, w[:, None], wb)
+            cnt_c = cnt_c + take.astype(jnp.int32)
+            cnt_w = cnt_w + jnp.where(take, w, 0)
 
             # Buffer overflow: pause HERE (coverage ends at this cell's
             # entry); the ray resumes from this very cell next round.
-            pause = collecting & ~fits
+            pause = collecting & need & ~fits
             paused = paused | pause
 
             # Advance via DDA step (mask form: ties advance several axes at
@@ -457,73 +480,134 @@ def shoot_grid(
             collecting = move & ~off & (t_enter <= best_t)
             iters = iters + collecting.astype(jnp.int32)
             return (tuple(new_cell), tuple(new_tmax), t_enter, collecting,
-                    buf, cnt, iters, paused, steps + 1)
+                    wsb, wb, cnt_c, cnt_w, iters, steps + 1, paused)
 
         init = (
             cell, t_max, t_enter, active,
-            jnp.full((N, C), null_row, jnp.int32) + izero_v[:, None],
-            izero_v,  # cnt
-            izero_v,  # iters
+            izv[:, None] + jnp.zeros((1, K), jnp.int32),  # wsb (run starts)
+            izv[:, None] + jnp.zeros((1, K), jnp.int32),  # wb (run widths)
+            izv,  # cnt_c (occupied cells collected)
+            izv,  # cnt_w (window rows collected)
+            izv,  # iters
+            jnp.sum(izv),  # steps (scalar)
             active & False,  # paused (buffer overflow)
-            izero,
         )
         out = jax.lax.while_loop(p1_cond, p1_body, init)
-        (cell, t_max, t_enter, collecting, buf, cnt, iters, paused, _) = out
+        (cell, t_max, t_enter, collecting, wsb, wb, _, _, iters, _,
+         paused) = out
         # Rays stopped by the steps cap (still `collecting`) also pause.
         paused = paused | collecting
         # Coverage is complete strictly below the entry of the pause cell.
         t_cap = jnp.where(paused, t_enter, jnp.inf)
+
+        # Expand the (run_start, run_width) pairs into the (n, C) window-row
+        # buffer — once per round, not once per DDA step.
+        buf = jnp.full((n, C), null_row, jnp.int32) + izv[:, None]
+        off = izv
+        for k in range(K):
+            wk, wsk = wb[:, k], wsb[:, k]
+            sel = (lanes >= off[:, None]) & (lanes < (off + wk)[:, None])
+            buf = jnp.where(sel, wsk[:, None] + (lanes - off[:, None]), buf)
+            off = off + wk
         return cell, t_max, t_enter, buf, paused, t_cap, iters
 
     # ======== phase 2: shared batched window test (accel/common.py) =======
-    def test(buf, active, best_t, best_tri):
+    def test(ctx, buf, active, best_t, best_tri):
+        o_, d_, ex_ = ctx[6], ctx[7], ctx[8]
         return test_windows(
-            grid.win_data, buf, o, d, ex, active, best_t, best_tri,
+            grid.win_data, buf, o_, d_, ex_, active, best_t, best_tri,
             min_t, top_index, kernel=kernel,
         )
 
-    # ======== outer rounds: collect -> test -> resolve/resume ==============
-    # Each round marches at most `march` cells; rays that either filled the
-    # buffer or hit the march cap pause and resume next round, after the
-    # intervening test pass has t-pruned everyone it can.  This converts
-    # worst-lane march length (lockstep!) into extra rounds paid only when
-    # stragglers exist.
     TIER = max(1, C // 2)  # always-tested low slots; rest under a cond
+    NS = min(N, max(2048, -(-N // 8)))  # compacted straggler width
 
-    def r_cond(c):
-        return jnp.logical_not(jnp.all(c[3])) & (c[6] < max_rounds)
-
-    def r_body(c):
-        cell, t_max, t_enter, done, best_t, best_tri, rounds, iters = c
+    def run_round(ctx, cell, t_max, t_enter, active, best_t, best_tri,
+                  steps_cap, min_active=0):
+        """One collect+test round at whatever width ctx/state are."""
         cell, t_max, t_enter, buf, paused, t_cap, it1 = collect(
-            cell, t_max, t_enter, ~done, best_t, march
+            ctx, cell, t_max, t_enter, active, best_t, steps_cap, min_active
         )
-        best_t, best_tri = test(buf[:, :TIER], ~done, best_t, best_tri)
+        best_t, best_tri = test(ctx, buf[:, :TIER], active, best_t, best_tri)
         if C > TIER:
             # Skip the high-slot gather entirely when no ray used them.
             best_t, best_tri = jax.lax.cond(
                 jnp.any(buf[:, TIER] != null_row),
-                lambda bt, btr: test(buf[:, TIER:], ~done, bt, btr),
+                lambda bt, btr: test(ctx, buf[:, TIER:], active, bt, btr),
                 lambda bt, btr: (bt, btr),
                 best_t,
                 best_tri,
             )
         # Resolved: full path covered, or a hit before the coverage limit.
-        done = done | ~paused | (best_t <= t_cap)
-        return (cell, t_max, t_enter, done, best_t, best_tri, rounds + 1,
-                iters + it1)
+        resolved = ~paused | (best_t <= t_cap)
+        return cell, t_max, t_enter, resolved, best_t, best_tri, it1
 
-    init = (
-        cell0,
-        t_max0,
-        t0 + vzero,  # t_enter of the origin cell
-        jnp.logical_not(valid_ray),  # done
-        jnp.full((N,), jnp.inf, dtype) + vzero,
-        jnp.full((N,), -1, jnp.int32) + izero_v,
-        izero,  # rounds
-        izero_v,  # iters
+    # ======== round 1: full width ==========================================
+    # The bulk of rays (coherent, short paths) resolve here in one pass; the
+    # round hands off as soon as at most NS rays are still marching (or the
+    # first buffer-full wave needs a test pass).
+    cell, t_max = cell0, t_max0
+    t_enter = t0 + vzero
+    done = jnp.logical_not(valid_ray)
+    best_t = jnp.full((N,), jnp.inf, dtype) + vzero
+    best_tri = jnp.full((N,), -1, jnp.int32) + izero_v
+    cell, t_max, t_enter, resolved, best_t, best_tri, iters = run_round(
+        rctx, cell, t_max, t_enter, ~done, best_t, best_tri,
+        p1_steps_max, NS if NS < N else 0,
     )
-    out = jax.lax.while_loop(r_cond, r_body, init)
+    done = done | resolved
+
+    # ======== straggler rounds: COMPACTED width =============================
+    # Lockstep traversal pays for the worst lane: a handful of long-path /
+    # buffer-overflow rays would keep every one of the N lanes marching
+    # (measured: incoherent bounce-2/3 batches ran 2-3 full-width rounds at
+    # 2-3x the round-1 cost).  Instead, unresolved rays are compacted
+    # (cumsum + scatter) into an NS-wide state and marched there, so each
+    # extra round costs NS/N of a full one.  More than NS stragglers simply
+    # take extra trips through the loop (the partition is stable).
+    ray_ids = jnp.arange(N, dtype=jnp.int32) + izero_v
+    ns_lanes = jnp.arange(NS, dtype=jnp.int32) + izero_v[:NS]
+    max_small_rounds = max_rounds * max(1, N // NS)
+
+    def s_cond(c):
+        return jnp.logical_not(jnp.all(c[3])) & (c[6] < max_small_rounds)
+
+    def s_body(c):
+        cell, t_max, t_enter, done, best_t, best_tri, rounds, iters = c
+        active = ~done
+        pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+        sel = active & (pos < NS)
+        sidx = (jnp.zeros((NS,), jnp.int32) + izero_v[:NS]).at[
+            jnp.where(sel, pos, NS)
+        ].set(ray_ids, mode="drop")
+        msk = ns_lanes < jnp.sum(sel.astype(jnp.int32))
+
+        gath = lambda a: a[sidx]
+        ctx_s = jax.tree.map(gath, rctx)
+        cell_s = tuple(gath(x) for x in cell)
+        tmax_s = tuple(gath(x) for x in t_max)
+        cell_s, tmax_s, te_s, res_s, bt_s, btr_s, it_s = run_round(
+            ctx_s, cell_s, tmax_s, gath(t_enter), msk,
+            gath(best_t), gath(best_tri),
+        )
+        wi = jnp.where(msk, sidx, N)  # padding lanes dropped on scatter
+        put = lambda full, small: full.at[wi].set(small, mode="drop")
+        return (
+            tuple(put(f, s) for f, s in zip(cell, cell_s)),
+            tuple(put(f, s) for f, s in zip(t_max, tmax_s)),
+            put(t_enter, te_s),
+            put(done, res_s),
+            put(best_t, bt_s),
+            put(best_tri, btr_s),
+            rounds + 1,
+            iters.at[wi].add(it_s, mode="drop"),
+        )
+
+    out = jax.lax.while_loop(
+        s_cond,
+        s_body,
+        (cell, t_max, t_enter, done, best_t, best_tri, izero + 1, iters),
+    )
     best_t, best_tri, rounds, iters = out[4], out[5], out[6], out[7]
     hits = finalize_hits(scene, rays, best_t, best_tri, kernel)
     if with_stats:
