@@ -588,7 +588,7 @@ def shoot_grid(
         tmax_s = tuple(gath(x) for x in t_max)
         cell_s, tmax_s, te_s, res_s, bt_s, btr_s, it_s = run_round(
             ctx_s, cell_s, tmax_s, gath(t_enter), msk,
-            gath(best_t), gath(best_tri),
+            gath(best_t), gath(best_tri), p1_steps_max,
         )
         wi = jnp.where(msk, sidx, N)  # padding lanes dropped on scatter
         put = lambda full, small: full.at[wi].set(small, mode="drop")
