@@ -55,7 +55,7 @@ def _finalize(rays: Ray, best_t, best_u, best_v, best_tri, tri_poly) -> HitRecor
 def shoot_brute(
     scene: Scene,
     rays: Ray,
-    kernel: str = "mt",
+    kernel: str = "watertight",
     min_t: float = MIN_T,
     tri_tile: int = 2048,
     top_index: Optional[int] = None,

@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..geom.intersect import DET_EPS
+from ..geom.intersect import kernel_components
 from ..geom.primitives import NO_POLY, HitRecord, Ray
 from ..mesh.scene import Scene
 
@@ -103,105 +103,6 @@ def pack_windows(
     return win_data, win_start[:-1], n_wins_per.astype(np.int64)
 
 
-def kernel_components(kernel, o_cmp, d_cmp, tri_cmp):
-    """Ray/triangle test on broadcastable COMPONENT arrays (lane-friendly).
-
-    All inputs are scalar component arrays (any mutually broadcastable
-    shapes) — never ``(..., 3)`` vectors, whose minor-dim-3 layout wastes
-    125/128 VPU lanes per op on TPU (measured: finalize_hits on (N,3)
-    vectors cost 4.3 ms/call at 32k rays, ~1/3 of the whole traversal).
-
-    Args:
-      kernel: "mt" (classic two-sided Möller–Trumbore, det cutoff
-        ``DET_EPS`` — the reference's acceptance,
-        ``Hare_Geometry_Polygons.cs:406,417``) or "watertight"
-        (Woop/Benthin/Wald 2013 with the FMA-robust epsilon band — see
-        ``geom/intersect.py``).
-      o_cmp, d_cmp: (ox, oy, oz), (dx, dy, dz).
-      tri_cmp: (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z).
-    Returns: (valid, t, u, v) broadcast over the inputs; t is +inf where
-      invalid.
-    """
-    ox, oy, oz = o_cmp
-    dx, dy, dz = d_cmp
-    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = tri_cmp
-    inf = jnp.asarray(jnp.inf, v0x.dtype)
-    if kernel == "watertight":
-        # ---- per-ray shear constants from components (no argmax/(N,3)).
-        adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
-        kz = jnp.where(
-            adx >= ady,
-            jnp.where(adx >= adz, 0, 2),
-            jnp.where(ady >= adz, 1, 2),
-        )
-        kx = (kz + 1) % 3
-        ky = (kx + 1) % 3
-
-        def pick(idx, X, Y, Z):
-            return jnp.where(idx == 0, X, jnp.where(idx == 1, Y, Z))
-
-        dz_r = pick(kz, dx, dy, dz)
-        neg = dz_r < 0.0
-        kx_, ky_ = jnp.where(neg, ky, kx), jnp.where(neg, kx, ky)
-        dx_r = pick(kx_, dx, dy, dz)
-        dy_r = pick(ky_, dx, dy, dz)
-        sz = 1.0 / dz_r
-        sx = dx_r * sz
-        sy = dy_r * sz
-
-        def shear(pxc, pyc, pzc):
-            rx, ry, rz = pxc - ox, pyc - oy, pzc - oz
-            axp = pick(kx_, rx, ry, rz)
-            ayp = pick(ky_, rx, ry, rz)
-            azp = pick(kz, rx, ry, rz)
-            return axp - sx * azp, ayp - sy * azp, azp
-
-        ax, ay, az = shear(v0x, v0y, v0z)
-        bx, by, bz = shear(v0x + e1x, v0y + e1y, v0z + e1z)
-        cx, cy, cz = shear(v0x + e2x, v0y + e2y, v0z + e2z)
-        u_s = cx * by - cy * bx
-        v_s = ax * cy - ay * cx
-        w_s = bx * ay - by * ax
-        det = u_s + v_s + w_s
-        # FMA-robust acceptance band — see geom/intersect.py watertight note.
-        tol = 8.0 * jnp.finfo(u_s.dtype).eps * (
-            jnp.abs(u_s) + jnp.abs(v_s) + jnp.abs(w_s)
-        )
-        same_sign = ((u_s >= -tol) & (v_s >= -tol) & (w_s >= -tol)) | (
-            (u_s <= tol) & (v_s <= tol) & (w_s <= tol)
-        )
-        valid = same_sign & (det != 0.0)
-        inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
-        t = jnp.where(valid, sz * (u_s * az + v_s * bz + w_s * cz) * inv_det, inf)
-        u = v_s * inv_det
-        v = w_s * inv_det
-        return valid, t, u, v
-
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    tx = ox - v0x
-    ty = oy - v0y
-    tz = oz - v0z
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    u_s = tx * px + ty * py + tz * pz
-    v_s = dx * qx + dy * qy + dz * qz
-    t_s = e2x * qx + e2y * qy + e2z * qz
-    s = jnp.sign(det)
-    valid = (
-        (s * u_s >= 0)
-        & (s * v_s >= 0)
-        & (s * (u_s + v_s) <= s * det)
-        & (jnp.abs(det) > DET_EPS)
-    )
-    inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
-    t = jnp.where(valid, t_s * inv_det, inf)
-    return valid, t, u_s * inv_det, v_s * inv_det
-
-
 def test_windows(
     win_data: jnp.ndarray,
     buf: jnp.ndarray,
@@ -213,7 +114,7 @@ def test_windows(
     best_tri: jnp.ndarray,
     min_t: float,
     top_index: Optional[int] = None,
-    kernel: str = "mt",
+    kernel: str = "watertight",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched candidate test: ONE gather + fused component-major test + min-t.
 
@@ -273,7 +174,7 @@ def finalize_hits(
     rays: Ray,
     best_t: jnp.ndarray,
     best_tri: jnp.ndarray,
-    kernel: str = "mt",
+    kernel: str = "watertight",
 ) -> HitRecord:
     """Build a differentiable HitRecord from traversal winners.
 

@@ -108,7 +108,7 @@ def shoot_kdtree(
     scene: Scene,
     rays,
     tree: KDTree,
-    kernel: str = "mt",
+    kernel: str = "watertight",
     min_t: float = MIN_T,
     top_index: Optional[int] = None,
     **kw,

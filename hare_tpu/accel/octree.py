@@ -139,7 +139,7 @@ def shoot_octree(
     scene: Scene,
     rays,
     tree: Octree,
-    kernel: str = "mt",
+    kernel: str = "watertight",
     min_t: float = MIN_T,
     top_index: Optional[int] = None,
     **kw,

@@ -46,6 +46,8 @@ class SpatialPartition:
         model: Union[Topology, Sequence[Topology]],
         accel: str = "grid",
         kernel: str = "watertight",
+        cap: Optional[int] = None,
+        march: Optional[int] = None,
         **params,
     ):
         if isinstance(model, Topology):
@@ -54,10 +56,18 @@ class SpatialPartition:
         self.scene: Scene = build_scene(self.model)
         self.accel_name = accel
         self.kernel = kernel
+        # Shoot-time traversal knobs (HareConfig.cap/march route here):
+        # grid takes ``cap`` candidate-buffer slots, trees take ``march``
+        # steps per traversal round.  None = the shoot function's default.
+        self._shoot_kw = {"kernel": kernel}
+        if accel == "grid" and cap is not None:
+            self._shoot_kw["cap"] = cap
+        if accel in ("octree", "kdtree") and march is not None:
+            self._shoot_kw["march"] = march
 
         if accel == "brute":
             self.struct = None
-            self._shoot = partial(shoot_brute, kernel=kernel, **params)
+            self._shoot = partial(shoot_brute, **self._shoot_kw, **params)
             # Char_Step analog for brute force: smallest triangle edge.
             tri = np.concatenate([t.vertices[t.tri_v] for t in self.model])
             e = np.linalg.norm(tri - np.roll(tri, 1, axis=1), axis=2)
@@ -66,16 +76,16 @@ class SpatialPartition:
             # Build from host-side topologies: extracting triangles back off
             # the device Scene costs a full device->host transfer.
             self.struct = build_voxel_grid(self.model, **params)
-            self._shoot = partial(shoot_grid, grid=self.struct, kernel=kernel)
+            self._shoot = partial(shoot_grid, grid=self.struct, **self._shoot_kw)
             self.char_step = self.struct.char_step
         elif accel == "octree":
             self.struct = build_octree(self.model, **params)
-            self._shoot = partial(shoot_octree, tree=self.struct, kernel=kernel)
+            self._shoot = partial(shoot_octree, tree=self.struct, **self._shoot_kw)
             ext = np.asarray(self.struct.root_max - self.struct.root_min)
             self.char_step = float(ext.min()) / (2 ** self.struct.max_depth)
         elif accel == "kdtree":
             self.struct = build_kdtree(self.model, **params)
-            self._shoot = partial(shoot_kdtree, tree=self.struct, kernel=kernel)
+            self._shoot = partial(shoot_kdtree, tree=self.struct, **self._shoot_kw)
             ext = np.asarray(self.struct.root_max - self.struct.root_min)
             self.char_step = float(ext.min()) / (2 ** min(self.struct.max_depth, 16))
         else:
@@ -108,8 +118,8 @@ class SpatialPartition:
             "octree": shoot_octree,
             "kdtree": shoot_kdtree,
         }[self.accel_name]
-        kernel = self.kernel
+        kw = dict(self._shoot_kw)
         struct = self.struct
         return lambda scene, rays, aux=None: raw(
-            scene, rays, aux if aux is not None else struct, kernel=kernel
+            scene, rays, aux if aux is not None else struct, **kw
         )

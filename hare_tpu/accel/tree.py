@@ -171,7 +171,7 @@ def shoot_tree(
     scene: Scene,
     rays: Ray,
     tree: TreeTables,
-    kernel: str = "mt",
+    kernel: str = "watertight",
     min_t: float = MIN_T,
     top_index: Optional[int] = None,
     with_stats: bool = False,

@@ -269,12 +269,11 @@ def shoot_grid(
     scene: Scene,
     rays: Ray,
     grid: VoxelGrid,
-    kernel: str = "mt",
+    kernel: str = "watertight",
     min_t: float = MIN_T,
     top_index: Optional[int] = None,
     with_stats: bool = False,
     cap: int = 16,
-    march: int = 32,
 ):
     """Nearest-hit query: collect-then-test 3-D DDA with empty-space skip.
 

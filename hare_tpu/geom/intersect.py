@@ -30,11 +30,10 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from .math import cross, dot
-
 __all__ = [
     "DET_EPS",
     "MIN_T",
+    "kernel_components",
     "ray_triangle_mt",
     "ray_triangle_watertight",
     "ray_aabb",
@@ -47,6 +46,128 @@ DET_EPS = 1e-6
 MIN_T = 1e-10
 
 
+def kernel_components(kernel, o_cmp, d_cmp, tri_cmp, det_eps=None):
+    """THE ray/triangle test — the single source of truth for both kernels.
+
+    Operates on broadcastable scalar COMPONENT arrays (lane-friendly): never
+    ``(..., 3)`` vectors, whose minor-dim-3 layout wastes 125/128 VPU lanes
+    per op on TPU (measured: finalize_hits on (N,3) vectors cost 4.3 ms/call
+    at 32k rays, ~1/3 of a whole traversal).  Every consumer — the vector
+    wrappers below, ``accel/common.test_windows``'s window-row blocks,
+    ``accel/common.finalize_hits``'s differentiable recompute — calls this
+    one implementation, so an epsilon-policy change cannot silently diverge.
+
+    Args:
+      kernel: "mt" — classic two-sided Möller–Trumbore with the reference's
+        acceptance (det cutoff, ``Hare_Geometry_Polygons.cs:406,417``; the
+        reference's ``Ray_Side`` winding flip + one-sided test composes to
+        exactly this two-sided form). "watertight" — Woop/Benthin/Wald 2013
+        with an FMA-robust epsilon band: under jit XLA may contract the edge
+        functions into FMAs, breaking the exact antisymmetry the strictly-
+        watertight argument relies on (a shared edge's function is the same
+        two products in swapped order), so an edge ray could be rejected by
+        BOTH adjacent triangles; padding the sign test by a few ulps of the
+        edge-function magnitude restores the no-crack guarantee, and
+        double-accepts at edges are idempotent under the min-t reduction
+        (Embree's "robust" mode uses the same construction).
+      o_cmp, d_cmp: (ox, oy, oz), (dx, dy, dz).
+      tri_cmp: (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z).
+      det_eps: determinant cutoff; None = ``DET_EPS`` for "mt" (reference
+        parity), 0.0 for "watertight" (edge-on hits accepted).
+    Returns: (valid, t, u, v) broadcast over the inputs; t is +inf where
+      invalid; u at v1, v at v2 (unflipped barycentric basis).
+    """
+    ox, oy, oz = o_cmp
+    dx, dy, dz = d_cmp
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = tri_cmp
+    inf = jnp.asarray(jnp.inf, v0x.dtype)
+    if kernel == "watertight":
+        if det_eps is None:
+            det_eps = 0.0
+        # ---- per-ray shear constants from components (no argmax/(N,3)).
+        adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+        kz = jnp.where(
+            adx >= ady,
+            jnp.where(adx >= adz, 0, 2),
+            jnp.where(ady >= adz, 1, 2),
+        )
+        kx = (kz + 1) % 3
+        ky = (kx + 1) % 3
+
+        def pick(idx, X, Y, Z):
+            return jnp.where(idx == 0, X, jnp.where(idx == 1, Y, Z))
+
+        dz_r = pick(kz, dx, dy, dz)
+        neg = dz_r < 0.0
+        kx_, ky_ = jnp.where(neg, ky, kx), jnp.where(neg, kx, ky)
+        dx_r = pick(kx_, dx, dy, dz)
+        dy_r = pick(ky_, dx, dy, dz)
+        sz = 1.0 / dz_r
+        sx = dx_r * sz
+        sy = dy_r * sz
+
+        def shear(pxc, pyc, pzc):
+            rx, ry, rz = pxc - ox, pyc - oy, pzc - oz
+            axp = pick(kx_, rx, ry, rz)
+            ayp = pick(ky_, rx, ry, rz)
+            azp = pick(kz, rx, ry, rz)
+            return axp - sx * azp, ayp - sy * azp, azp
+
+        ax, ay, az = shear(v0x, v0y, v0z)
+        bx, by, bz = shear(v0x + e1x, v0y + e1y, v0z + e1z)
+        cx, cy, cz = shear(v0x + e2x, v0y + e2y, v0z + e2z)
+        u_s = cx * by - cy * bx
+        v_s = ax * cy - ay * cx
+        w_s = bx * ay - by * ax
+        det = u_s + v_s + w_s
+        tol = 8.0 * jnp.finfo(u_s.dtype).eps * (
+            jnp.abs(u_s) + jnp.abs(v_s) + jnp.abs(w_s)
+        )
+        same_sign = ((u_s >= -tol) & (v_s >= -tol) & (w_s >= -tol)) | (
+            (u_s <= tol) & (v_s <= tol) & (w_s <= tol)
+        )
+        valid = same_sign & (jnp.abs(det) > det_eps)
+        inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
+        t = jnp.where(valid, sz * (u_s * az + v_s * bz + w_s * cz) * inv_det, inf)
+        u = v_s * inv_det
+        v = w_s * inv_det
+        return valid, t, u, v
+
+    if det_eps is None:
+        det_eps = DET_EPS
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    u_s = tx * px + ty * py + tz * pz
+    v_s = dx * qx + dy * qy + dz * qz
+    t_s = e2x * qx + e2y * qy + e2z * qz
+    # det > eps branch: 0 <= u_s, v_s and u_s + v_s <= det; det < -eps:
+    # identical inequalities, signs flipped — multiplying by sign(det)
+    # unifies both (the det-scaled comparisons of
+    # Hare_Geometry_Polygons.cs:483-505).
+    s = jnp.sign(det)
+    valid = (
+        (s * u_s >= 0)
+        & (s * v_s >= 0)
+        & (s * (u_s + v_s) <= s * det)
+        & (jnp.abs(det) > det_eps)
+    )
+    inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
+    t = jnp.where(valid, t_s * inv_det, inf)
+    return valid, t, u_s * inv_det, v_s * inv_det
+
+
+def _split(vec):
+    return tuple(vec[..., c] for c in range(3))
+
+
 def ray_triangle_mt(
     origin: jnp.ndarray,
     direction: jnp.ndarray,
@@ -55,41 +176,19 @@ def ray_triangle_mt(
     v2: jnp.ndarray,
     det_eps: float = DET_EPS,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Two-sided Möller–Trumbore. Returns ``(valid, t, u, v)``.
+    """Two-sided Möller–Trumbore on (..., 3) vectors — thin wrapper over
+    :func:`kernel_components`. Returns ``(valid, t, u, v)``; t is +inf where
+    invalid.
 
-    ``valid`` does NOT include the ``t > MIN_T`` / exclusion masks — those are
-    the traversal layer's acceptance policy (as in the reference, where
+    ``valid`` does NOT include the ``t > MIN_T`` / exclusion masks — those
+    are the traversal layer's acceptance policy (as in the reference, where
     ``Voxel_Grid.cs:482`` applies them outside ``RayXtri``).
-
-    u, v are returned normalized (divided by det) for hits; the sign-aware
-    bounds tests replicate the det-scaled comparisons of the reference
-    (``Hare_Geometry_Polygons.cs:483-505``).
     """
-    e1 = v1 - v0
-    e2 = v2 - v0
-    pvec = cross(direction, e2)
-    det = dot(e1, pvec)
-    tvec = origin - v0
-    qvec = cross(tvec, e1)
-
-    u_s = dot(tvec, pvec)  # u * det
-    v_s = dot(direction, qvec)  # v * det
-    t_s = dot(e2, qvec)  # t * det
-
-    # det > eps branch: 0 <= u_s, v_s and u_s + v_s <= det
-    # det < -eps branch: identical inequalities with signs flipped.
-    # Multiplying through by sign(det) unifies both.
-    s = jnp.sign(det)
-    su, sv, sd = s * u_s, s * v_s, s * det
-    in_bounds = (su >= 0.0) & (sv >= 0.0) & (su + sv <= sd)
-    valid = (jnp.abs(det) > det_eps) & in_bounds
-
-    # Safe reciprocal: where invalid, value is masked anyway.
-    inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
-    t = t_s * inv_det
-    u = u_s * inv_det
-    v = v_s * inv_det
-    return valid, t, u, v
+    e1, e2 = v1 - v0, v2 - v0
+    return kernel_components(
+        "mt", _split(origin), _split(direction),
+        _split(v0) + _split(e1) + _split(e2), det_eps=det_eps,
+    )
 
 
 def ray_triangle_watertight(
@@ -100,72 +199,17 @@ def ray_triangle_watertight(
     v2: jnp.ndarray,
     det_eps: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Watertight ray/triangle (Woop, Benthin & Wald, JCGT 2013), two-sided.
+    """Watertight ray/triangle (Woop, Benthin & Wald, JCGT 2013), two-sided,
+    on (..., 3) vectors — thin wrapper over :func:`kernel_components`.
 
-    Shear-transforms the triangle into ray space picking the dominant
-    direction axis, computes 2-D edge functions whose signs are consistent
-    across shared edges — no cracks between adjacent triangles in f32.
-    Returns ``(valid, t, u, v)`` with the same contract as
-    :func:`ray_triangle_mt`.  ``det_eps=0`` accepts edge-on hits that classic
-    MT rejects; pass ``DET_EPS`` for reference-parity studies.
+    Same contract as :func:`ray_triangle_mt`.  ``det_eps=0`` accepts edge-on
+    hits that classic MT rejects; pass ``DET_EPS`` for parity studies.
     """
-    d = direction
-    ad = jnp.abs(d)
-    # kz = dominant axis; kx, ky follow cyclically, swapped to keep winding.
-    kz = jnp.argmax(ad, axis=-1)
-    kx = (kz + 1) % 3
-    ky = (kx + 1) % 3
-    dz = jnp.take_along_axis(d, kz[..., None], axis=-1)[..., 0]
-    neg = dz < 0.0
-    kx_, ky_ = jnp.where(neg, ky, kx), jnp.where(neg, kx, ky)
-
-    def pick(vec, idx):
-        return jnp.take_along_axis(vec, idx[..., None], axis=-1)[..., 0]
-
-    dx, dy = pick(d, kx_), pick(d, ky_)
-    dz = pick(d, kz)
-    sz = 1.0 / dz
-    sx = dx * sz
-    sy = dy * sz
-
-    # Vertices relative to ray origin, sheared into ray space.
-    def shear(v):
-        a = v - origin
-        axp, ayp, azp = pick(a, kx_), pick(a, ky_), pick(a, kz)
-        return axp - sx * azp, ayp - sy * azp, azp
-
-    ax, ay, az = shear(v0)
-    bx, by, bz = shear(v1)
-    cx, cy, cz = shear(v2)
-
-    u_s = cx * by - cy * bx
-    v_s = ax * cy - ay * cx
-    w_s = bx * ay - by * ax
-
-    det = u_s + v_s + w_s
-    # Relative-epsilon acceptance band: under jit XLA may contract the edge
-    # functions into FMAs, which breaks the exact antisymmetry the
-    # strictly-watertight argument relies on (a shared edge's function is the
-    # same two products in swapped order) — an edge ray could then be rejected
-    # by BOTH adjacent triangles.  Padding the sign test by a few ulps of the
-    # edge-function magnitude restores the no-crack guarantee; double-accepts
-    # at edges are idempotent under the min-t reduction (Embree's "robust"
-    # mode uses the same construction).
-    tol = 8.0 * jnp.finfo(u_s.dtype).eps * (
-        jnp.abs(u_s) + jnp.abs(v_s) + jnp.abs(w_s)
+    e1, e2 = v1 - v0, v2 - v0
+    return kernel_components(
+        "watertight", _split(origin), _split(direction),
+        _split(v0) + _split(e1) + _split(e2), det_eps=det_eps,
     )
-    same_sign = ((u_s >= -tol) & (v_s >= -tol) & (w_s >= -tol)) | (
-        (u_s <= tol) & (v_s <= tol) & (w_s <= tol)
-    )
-    valid = same_sign & (jnp.abs(det) > det_eps)
-
-    t_s = sz * (u_s * az + v_s * bz + w_s * cz)
-    inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
-    t = t_s * inv_det
-    # Match MT's convention: u at v1, v at v2 (barycentric of vert1/vert2).
-    u = v_s * inv_det
-    v = w_s * inv_det
-    return valid, t, u, v
 
 
 def ray_aabb(

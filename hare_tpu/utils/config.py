@@ -32,9 +32,9 @@ class HareConfig:
     avg_polys: float = 10.0  # adaptive occupancy target (Voxel_Grid.cs:128)
     max_depth: int = 8  # octree/kdtree (Octree - alt.cs:45, KDTree.cs:51)
     max_tris_per_node: int = 16
-    kernel: str = "mt"  # mt | watertight
-    cap: int = 32  # grid candidate-buffer slots per round
-    march: int = 16  # grid march steps per round
+    kernel: str = "watertight"  # watertight (default everywhere) | mt
+    cap: int = 16  # grid candidate-buffer slots per round (shoot_grid cap)
+    march: int = 32  # tree traversal steps per round (shoot_tree march)
     # Tracing
     n_rays: int = 1 << 15
     n_bounces: int = 8
@@ -78,17 +78,23 @@ class HareConfig:
         return cls(**vars(ns))
 
     def accel_params(self) -> dict:
-        """kwargs for SpatialPartition, by accel kind."""
+        """kwargs for SpatialPartition, by accel kind — both the structure
+        BUILD parameters and the shoot-time traversal knobs (``cap`` for the
+        grid's candidate buffer, ``march`` for the trees' per-round step
+        count), so a config round-trips into an actual traversal
+        configuration."""
         if self.accel == "grid":
             if self.domain is not None:
-                return {"domain": self.domain}
+                return {"domain": self.domain, "cap": self.cap}
             return {
                 "max_doublings": self.max_doublings,
                 "avg_polys": self.avg_polys,
+                "cap": self.cap,
             }
         if self.accel in ("octree", "kdtree"):
             return {
                 "max_depth": self.max_depth,
                 "max_tris_per_node": self.max_tris_per_node,
+                "march": self.march,
             }
         return {}

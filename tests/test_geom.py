@@ -13,6 +13,7 @@ from hare_tpu.geom import (
     ray_triangle_watertight,
     tri_box_overlap,
 )
+from hare_tpu.geom.intersect import kernel_components
 from hare_tpu.oracle import mt_intersect, slab_intersect
 
 
@@ -117,6 +118,26 @@ def test_watertight_shared_edge(rng):
     h2 = np.asarray(ray_triangle_watertight(*args(b, a, dpt))[0])
     hits = h1.astype(int) + h2.astype(int)
     assert np.all(hits >= 1), "crack along shared edge"
+
+
+def test_vector_wrappers_equal_component_kernel(rng):
+    """ONE source of truth: the (...,3) vector forms must be bitwise equal to
+    kernel_components on hand-split components, for both kernels — an
+    epsilon-policy edit in either path can then never silently diverge."""
+    v0, v1, v2, o, d = (jnp.asarray(x, jnp.float32)
+                        for x in random_tris_rays(rng, 500))
+    e1, e2 = v1 - v0, v2 - v0
+    split = lambda a: tuple(a[..., c] for c in range(3))
+    tri_cmp = split(v0) + split(e1) + split(e2)
+    for kernel, wrapper in (("mt", ray_triangle_mt),
+                            ("watertight", ray_triangle_watertight)):
+        vec = wrapper(o, d, v0, v1, v2)
+        cmp = kernel_components(kernel, split(o), split(d), tri_cmp)
+        for a, b, name in zip(vec, cmp, ("valid", "t", "u", "v")):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"{kernel}: {name} diverged from kernel_components",
+            )
 
 
 def test_ray_aabb_matches_oracle(rng):

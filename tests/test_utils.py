@@ -28,8 +28,14 @@ def test_config_roundtrip_and_cli():
         ["--accel", "kdtree", "--n-rays", "1024", "--avg-polys", "4.0"]
     )
     assert c3.accel == "kdtree" and c3.n_rays == 1024 and c3.avg_polys == 4.0
-    assert c3.accel_params() == {"max_depth": 8, "max_tris_per_node": 16}
-    assert HareConfig(accel="grid", domain=16).accel_params() == {"domain": 16}
+    # accel_params carries BOTH build params and the shoot-time knobs
+    # (cap/march) so a config round-trips into a traversal configuration.
+    assert c3.accel_params() == {
+        "max_depth": 8, "max_tris_per_node": 16, "march": 32,
+    }
+    assert HareConfig(accel="grid", domain=16).accel_params() == {
+        "domain": 16, "cap": 16,
+    }
 
 
 def test_metrics_logger(tmp_path):
