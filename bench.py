@@ -12,8 +12,10 @@ import time
 
 import numpy as np
 
-# First recorded fwd+bwd figure (r1, pre-optimization); speedup vs this.
-BASELINE_MRAYS = 0.073
+# Round-1 committed fwd+bwd artifact (BENCH_r01.json): the honest baseline —
+# the first end-of-round figure the driver recorded, not a pre-optimization
+# scratch measurement.
+BASELINE_MRAYS = 1.167
 
 
 def main():
@@ -51,21 +53,27 @@ def main():
         return jnp.sum(energy_histogram(res, 1024, 1e-3))
 
     fwd_bwd = jax.jit(jax.value_and_grad(loss, argnums=1))
+    fwd = jax.jit(loss)
 
     # Warmup/compile.  NB: block_until_ready is unreliable over the axon
     # tunnel (returns before execution completes) — sync via a scalar pull.
     v, g = fwd_bwd(sp.scene, a, rays, sp.aux)
     _ = float(v) + float(jnp.sum(g))
+    _ = float(fwd(sp.scene, a, rays, sp.aux))
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        v, g = fwd_bwd(sp.scene, a, rays, sp.aux)
-    _ = float(v) + float(jnp.sum(g))  # one sync for the whole queue
-    dt = (time.perf_counter() - t0) / iters
+    def timeit(fn, sync, iters=10):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(sp.scene, a, rays, sp.aux)
+        sync(out)  # one sync for the whole queue
+        return (time.perf_counter() - t0) / iters
+
+    dt = timeit(fwd_bwd, lambda out: float(out[0]) + float(jnp.sum(out[1])))
+    dt_f = timeit(fwd, lambda out: float(out))
 
     total_rays = n_rays * n_bounces  # each bounce is a full shoot
     mrays = total_rays / dt / 1e6
+    mrays_f = total_rays / dt_f / 1e6
     print(
         json.dumps(
             {
@@ -74,6 +82,9 @@ def main():
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
                 "detail": {
+                    "fwd_mrays": round(mrays_f, 3),
+                    "fwd_ms": round(dt_f * 1e3, 2),
+                    "bwd_over_fwd": round(dt / dt_f, 2),
                     "n_tris": top.n_tris,
                     "n_rays": n_rays,
                     "n_bounces": n_bounces,

@@ -4,6 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+import pytest
 
 from hare_tpu.geom import Ray
 from hare_tpu.accel import SpatialPartition
@@ -12,9 +13,13 @@ from hare_tpu.mesh import Topology, shapes
 from hare_tpu.trace import energy_histogram, trace_rays, uniform_sphere
 
 
-def setup(n_rays=256):
+def setup(n_rays=256, accel="grid"):
+    # Parametrized over a second backend so one backend bug cannot zero out
+    # ALL multichip evidence (the r2 failure mode: a grid-only regression
+    # took down every distribution test at once).
     top = Topology.build(shapes.shoebox(4, 5, 3))
-    sp = SpatialPartition(top, accel="grid", domain=4)
+    params = {"domain": 4} if accel == "grid" else {}
+    sp = SpatialPartition(top, accel=accel, **params)
     a = jnp.asarray(
         np.random.default_rng(0).uniform(0.1, 0.5, top.n_polys), jnp.float32
     )
@@ -27,28 +32,30 @@ def test_eight_devices():
     assert len(jax.devices()) == 8
 
 
-def test_sharded_matches_single():
+@pytest.mark.parametrize("accel", ["grid", "octree"])
+def test_sharded_matches_single(accel):
     """Sharded histogram == single-device histogram (bitwise-determinism
     analog of the reference-absent race tests, SURVEY.md §5)."""
-    top, sp, a, rays = setup()
+    top, sp, a, rays = setup(accel=accel)
     mesh = make_ray_mesh(8)
     fn = sharded_histogram(mesh, sp.shoot_fn, n_bounces=3, n_bins=256)
-    h_sharded = np.asarray(fn(sp.scene, rays, a))
-    res = trace_rays(sp.scene, rays, a, 3, sp.shoot_fn)
+    h_sharded = np.asarray(fn(sp.scene, rays, a, sp.aux))
+    res = trace_rays(sp.scene, rays, a, 3, sp.shoot_fn, aux=sp.aux)
     h_single = np.asarray(energy_histogram(res, 256, 1e-3))
     np.testing.assert_allclose(h_sharded, h_single, rtol=1e-6, atol=1e-6)
 
 
-def test_sharded_grad_matches_single():
-    top, sp, a, rays = setup()
+@pytest.mark.parametrize("accel", ["grid", "octree"])
+def test_sharded_grad_matches_single(accel):
+    top, sp, a, rays = setup(accel=accel)
     mesh = make_ray_mesh(8)
     fn = sharded_histogram(mesh, sp.shoot_fn, n_bounces=3, n_bins=256)
 
     def loss_sharded(a_):
-        return jnp.sum(fn(sp.scene, rays, a_) ** 2)
+        return jnp.sum(fn(sp.scene, rays, a_, sp.aux) ** 2)
 
     def loss_single(a_):
-        res = trace_rays(sp.scene, rays, a_, 3, sp.shoot_fn)
+        res = trace_rays(sp.scene, rays, a_, 3, sp.shoot_fn, aux=sp.aux)
         return jnp.sum(energy_histogram(res, 256, 1e-3) ** 2)
 
     gs = np.asarray(jax.grad(loss_sharded)(a))
