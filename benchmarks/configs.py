@@ -39,18 +39,26 @@ def timeit(fn, iters=5):
 
 
 def big_scene(n_target: str = "650k"):
-    """Procedural large scenes: shoebox shell + icospheres."""
+    """Procedural large scenes: shoebox shell + icospheres.
+
+    Returns stacked (F, 3, 3) chunks (one per shape) — the fast ingest path
+    of ``Topology.build`` (per-face Python lists dominate 5M-face builds).
+    """
+    import numpy as np
     from hare_tpu.mesh import shapes
 
-    faces = shapes.shoebox(40.0, 40.0, 40.0)
+    faces = [np.stack(shapes.shoebox(40.0, 40.0, 40.0))]
     if n_target == "650k":
         specs = [((12, 12, 12), 6.0, 7), ((28, 12, 12), 5.0, 6),
                  ((12, 28, 12), 5.0, 6), ((12, 12, 28), 5.0, 6),
                  ((28, 28, 28), 5.0, 6)]
-    else:  # ~1.3M
+    elif n_target == "1.3M":
         specs = [((20, 20, 20), 8.0, 8)]
+    else:  # "5M": 4 x subdiv-8 icospheres = 5.24M tris + shell
+        specs = [((10, 10, 10), 6.0, 8), ((30, 10, 12), 6.0, 8),
+                 ((10, 30, 14), 6.0, 8), ((28, 28, 28), 6.0, 8)]
     for c, r, sub in specs:
-        faces += shapes.icosphere(sub, radius=r, center=c)
+        faces.append(np.stack(shapes.icosphere(sub, radius=r, center=c)))
     return faces
 
 

@@ -28,11 +28,15 @@ from ..mesh.scene import Scene
 
 __all__ = ["finalize_hits", "kernel_components", "pack_windows", "test_windows", "WIN"]
 
-# Triangles per window row.  Row width = 12*WIN lanes (9 geometry components
-# + 3 id lanes per triangle).  32 -> 384-lane rows (three (8,128) tiles):
-# measured on-chip, gather cost is dominated by ROW COUNT, so fatter rows
-# cut the test phase ~2.3x at constant data volume vs 128-lane rows.
-WIN = 32
+# Default triangles per window row.  Row width = 12*win lanes (9 geometry
+# components + 3 id lanes per triangle).  Profiled on-chip (r3): the test
+# phase is HBM-bandwidth-bound on the materialized gather result (~480 GB/s
+# on (N*C, 12*win) rows), so row BYTES are what matters — and with typical
+# cell occupancies of ~10-30 triangles, 32-wide rows were mostly padding.
+# 16 halves the traffic at equal coverage for all but the fattest cells;
+# builders may pass ``win=`` to pack_windows to override (test_windows
+# infers the width from ``win_data.shape[1]``).
+WIN = 16
 
 
 def pack_windows(
@@ -42,6 +46,7 @@ def pack_windows(
     start: np.ndarray,
     counts: np.ndarray,
     items: np.ndarray,
+    win: int = WIN,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pack per-group triangle lists into 128-lane window rows (host side).
 
@@ -57,48 +62,48 @@ def pack_windows(
       start/counts: (G,) CSR offsets into ``items`` per group.
       items: (total,) triangle ids, group-major.
     Returns:
-      (win_data (NW+1, 12*WIN) f32, win_start (G,) i64, n_wins (G,) i64)
+      (win_data (NW+1, 12*win) f32, win_start (G,) i64, n_wins (G,) i64)
     """
-    n_wins_per = -(-counts // WIN)
+    n_wins_per = -(-counts // win)
     win_start = np.concatenate([[0], np.cumsum(n_wins_per)]).astype(np.int64)
     n_windows = int(win_start[-1])
-    win_data = np.zeros((n_windows + 1, 12 * WIN), np.float32)
+    win_data = np.zeros((n_windows + 1, 12 * win), np.float32)
     if n_windows:
         occ = np.nonzero(counts)[0]
         win_grp = np.repeat(occ, n_wins_per[occ])
         win_local = np.arange(n_windows) - win_start[win_grp]
-        lane = np.arange(WIN)
-        pos = start[win_grp][:, None] + (win_local[:, None] * WIN + lane)
+        lane = np.arange(win)
+        pos = start[win_grp][:, None] + (win_local[:, None] * win + lane)
         in_range = pos < (start[win_grp] + counts[win_grp])[:, None]
         pos_c = np.minimum(pos, len(items) - 1)
         t_ids = np.where(in_range, items[pos_c], -1)
         safe = np.maximum(t_ids, 0)
-        g = tri[safe]  # (n_windows, WIN, 3, 3)
+        g = tri[safe]  # (n_windows, win, 3, 3)
         v0 = g[:, :, 0, :]
         ops = np.concatenate(
             [v0, g[:, :, 1, :] - v0, g[:, :, 2, :] - v0], axis=-1
         )
         ops = np.where(in_range[:, :, None], ops, 0.0)
-        win_data[:n_windows, 0 : 9 * WIN] = ops.transpose(0, 2, 1).reshape(
-            n_windows, 9 * WIN
+        win_data[:n_windows, 0 : 9 * win] = ops.transpose(0, 2, 1).reshape(
+            n_windows, 9 * win
         )
-        win_data[:n_windows, 9 * WIN : 10 * WIN] = np.where(
+        win_data[:n_windows, 9 * win : 10 * win] = np.where(
             in_range, t_ids, -1
         ).astype(np.int32).view(np.float32)
-        win_data[:n_windows, 10 * WIN : 11 * WIN] = np.where(
+        win_data[:n_windows, 10 * win : 11 * win] = np.where(
             in_range, tri_poly[safe], -2
         ).astype(np.int32).view(np.float32)
-        win_data[:n_windows, 11 * WIN : 12 * WIN] = np.where(
+        win_data[:n_windows, 11 * win : 12 * win] = np.where(
             in_range, tri_top[safe], -1
         ).astype(np.int32).view(np.float32)
-    win_data[n_windows, 9 * WIN : 10 * WIN] = (
-        np.full(WIN, -1, np.int32).view(np.float32)
+    win_data[n_windows, 9 * win : 10 * win] = (
+        np.full(win, -1, np.int32).view(np.float32)
     )
-    win_data[n_windows, 10 * WIN : 11 * WIN] = (
-        np.full(WIN, -2, np.int32).view(np.float32)
+    win_data[n_windows, 10 * win : 11 * win] = (
+        np.full(win, -2, np.int32).view(np.float32)
     )
-    win_data[n_windows, 11 * WIN : 12 * WIN] = (
-        np.full(WIN, -1, np.int32).view(np.float32)
+    win_data[n_windows, 11 * win : 12 * win] = (
+        np.full(win, -1, np.int32).view(np.float32)
     )
     return win_data, win_start[:-1], n_wins_per.astype(np.int64)
 
@@ -136,35 +141,53 @@ def test_windows(
     Returns: updated (best_t, best_tri).
     """
     N, C = buf.shape
+    win = win_data.shape[1] // 12  # static: row width encodes the packing
     inf = jnp.asarray(jnp.inf, win_data.dtype)
-    g = win_data[buf]  # (N, C, 12*WIN)
-    cmp = [g[..., WIN * i : WIN * (i + 1)] for i in range(9)]
-    d_cmp = (d[:, 0, None, None], d[:, 1, None, None], d[:, 2, None, None])
-    o_cmp = (o[:, 0, None, None], o[:, 1, None, None], o[:, 2, None, None])
+    # Flat 2-D gather: profiled on-chip, the (N, C, 12*win) 3-D gather made
+    # XLA materialize a transposed {0,2,1} relayout copy of the whole 400 MB
+    # result (1.2 ms/call at N=32k, C=8 — the single most expensive op in
+    # the traversal).  The (N*C, 12*win) form keeps the gather result in its
+    # natural row-major tiling; all math below is 2-D and relayout-free.
+    M = N * C
+    g = win_data[buf.reshape(M)]  # (M, 12*win)
+    cmp = [g[:, win * i : win * (i + 1)] for i in range(9)]
+    rep = lambda x: jnp.repeat(x, C, axis=0)[:, None]  # (N,) -> (M, 1)
+    d_cmp = (rep(d[:, 0]), rep(d[:, 1]), rep(d[:, 2]))
+    o_cmp = (rep(o[:, 0]), rep(o[:, 1]), rep(o[:, 2]))
     valid, t, _, _ = kernel_components(kernel, o_cmp, d_cmp, cmp)
 
-    tid = jax.lax.bitcast_convert_type(g[..., 9 * WIN : 10 * WIN], jnp.int32)
-    tp = jax.lax.bitcast_convert_type(g[..., 10 * WIN : 11 * WIN], jnp.int32)
+    tid = jax.lax.bitcast_convert_type(g[:, 9 * win : 10 * win], jnp.int32)
+    tp = jax.lax.bitcast_convert_type(g[:, 10 * win : 11 * win], jnp.int32)
     acc = (
-        active[:, None, None]
+        rep(active)
         & valid
         & (t > min_t)
         & (tid >= 0)
-        & (tp != ex[:, 0:1, None])
-        & (tp != ex[:, 1:2, None])
+        & (tp != rep(ex[:, 0]))
+        & (tp != rep(ex[:, 1]))
     )
     if top_index is not None:
         ttop = jax.lax.bitcast_convert_type(
-            g[..., 11 * WIN : 12 * WIN], jnp.int32
+            g[:, 11 * win : 12 * win], jnp.int32
         )
         acc &= ttop == top_index
-    t = jnp.where(acc, t, inf).reshape(N, C * WIN)
-    j = jnp.argmin(t, axis=1)
-    t_min = jnp.take_along_axis(t, j[:, None], 1)[:, 0]
-    tri_min = jnp.take_along_axis(tid.reshape(N, C * WIN), j[:, None], 1)[:, 0]
+    t = jnp.where(acc, t, inf)
+    # Two-stage min with select-based winner extraction: a lane reduce to
+    # (M,) then a per-ray reduce over C — no argmin + take_along_axis pair
+    # (profiled: two (N, C*WIN)-row gathers, ~0.7 ms/call at 32k rays).
+    # Ties pick the smallest triangle id, which is deterministic and
+    # coincides for the common duplicate-test case (same triangle seen from
+    # several cells).
+    big = jnp.int32(2**31 - 1)
+    t_row = jnp.min(t, axis=1)  # (M,)
+    tid_row = jnp.min(jnp.where(t == t_row[:, None], tid, big), axis=1)
+    t_nc = t_row.reshape(N, C)
+    t_min = jnp.minimum(jnp.min(t_nc, axis=1), best_t)  # fold carry in
+    tid_nc = jnp.where(t_nc == t_min[:, None], tid_row.reshape(N, C), big)
+    tri_min = jnp.min(tid_nc, axis=1)
     better = t_min < best_t
     return (
-        jnp.where(better, t_min, best_t),
+        t_min,
         jnp.where(better, tri_min, best_tri),
     )
 

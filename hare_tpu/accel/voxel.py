@@ -61,7 +61,7 @@ from ..geom.primitives import HitRecord, Ray
 from ..geom.tribox import tri_box_overlap
 from ..mesh.scene import Scene
 from ..mesh.topology import Topology
-from .common import WIN, finalize_hits, pack_windows, test_windows
+from .common import finalize_hits, pack_windows, test_windows
 
 __all__ = ["VoxelGrid", "build_voxel_grid", "shoot_grid"]
 
@@ -314,6 +314,8 @@ def shoot_grid(
     K = max(C // 2, 1)
     # Phase-1 march bound: the 3(n-1)+3 DDA walk.
     p1_steps_max = nx + ny + nz + 3
+    # Sub-steps per while iteration (see p1_body).
+    UNROLL = 4
     # Outer bound: every two rounds progress at least one cell.
     max_rounds = 2 * p1_steps_max
 
@@ -414,6 +416,19 @@ def shoot_grid(
             return (n_coll > min_active) & (s[9] < steps_cap)
 
         def p1_body(s):
+            # UNROLL sub-steps per while iteration: the loop-exit check is a
+            # cross-lane reduction to a scalar (a pipeline sync) and each
+            # iteration pays XLA fusion-boundary staging — measured 13.2
+            # ns/ray-step at unroll 1 vs 6.8 at unroll 4 for the bare march.
+            # Every state update below is masked by ``collecting``/``move``,
+            # so running the step body on a finished ray is the identity and
+            # the overshoot (at most UNROLL-1 steps past the handoff/cap) is
+            # harmless.
+            for _ in range(UNROLL):
+                s = p1_step(s)
+            return s
+
+        def p1_step(s):
             (cell, t_max, t_enter, collecting, wsb, wb, cnt_c, cnt_w,
              iters, steps, paused) = s
             cx, cy, cz = cell
@@ -552,7 +567,7 @@ def shoot_grid(
     best_tri = jnp.full((N,), -1, jnp.int32) + izero_v
     cell, t_max, t_enter, resolved, best_t, best_tri, iters = run_round(
         rctx, cell, t_max, t_enter, ~done, best_t, best_tri,
-        p1_steps_max, NS if NS < N else 0,
+        p1_steps_max, 0,
     )
     done = done | resolved
 
