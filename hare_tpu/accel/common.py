@@ -172,23 +172,39 @@ def test_windows(
         )
         acc &= ttop == top_index
     t = jnp.where(acc, t, inf)
-    # Two-stage min with select-based winner extraction: a lane reduce to
-    # (M,) then a per-ray reduce over C — no argmin + take_along_axis pair
-    # (profiled: two (N, C*WIN)-row gathers, ~0.7 ms/call at 32k rays).
-    # Ties pick the smallest triangle id, which is deterministic and
-    # coincides for the common duplicate-test case (same triangle seen from
-    # several cells).
+    # Lane-halving (t, tid) min tree instead of axis reduces: jnp.min(axis=1)
+    # made XLA pick a column-major layout for the whole gathered operand and
+    # insert a 200 MB transpose copy (2 ms/run inside the bounce scan).  The
+    # tree is pure elementwise minimum/select on static lane slices, so it
+    # fuses into the kernel math in the gather's natural row-major layout.
+    # Ties pick the smallest triangle id — deterministic, and coinciding ids
+    # for the common duplicate-test case (same triangle seen from several
+    # cells).
     big = jnp.int32(2**31 - 1)
-    t_row = jnp.min(t, axis=1)  # (M,)
-    tid_row = jnp.min(jnp.where(t == t_row[:, None], tid, big), axis=1)
+
+    def tree_min(t_, i_):
+        w = t_.shape[1]
+        if w & (w - 1):  # pad to the next power of two with +inf lanes
+            p = 1 << w.bit_length()
+            t_ = jnp.pad(t_, ((0, 0), (0, p - w)), constant_values=jnp.inf)
+            i_ = jnp.pad(i_, ((0, 0), (0, p - w)), constant_values=big)
+        while t_.shape[1] > 1:
+            h = t_.shape[1] // 2
+            ta, ia = t_[:, :h], i_[:, :h]
+            tb, ib = t_[:, h:], i_[:, h:]
+            lt = (tb < ta) | ((tb == ta) & (ib < ia))
+            t_ = jnp.where(lt, tb, ta)
+            i_ = jnp.where(lt, ib, ia)
+        return t_[:, 0], i_[:, 0]
+
+    t_row, tid_row = tree_min(t, tid)  # (M,)
     t_nc = t_row.reshape(N, C)
-    t_min = jnp.minimum(jnp.min(t_nc, axis=1), best_t)  # fold carry in
-    tid_nc = jnp.where(t_nc == t_min[:, None], tid_row.reshape(N, C), big)
-    tri_min = jnp.min(tid_nc, axis=1)
+    tid_nc = tid_row.reshape(N, C)
+    t_min, tri_cand = tree_min(t_nc, tid_nc)  # (N,)
     better = t_min < best_t
     return (
-        t_min,
-        jnp.where(better, tri_min, best_tri),
+        jnp.where(better, t_min, best_t),
+        jnp.where(better, tri_cand, best_tri),
     )
 
 
@@ -210,7 +226,8 @@ def finalize_hits(
     tri = jax.lax.stop_gradient(jnp.maximum(best_tri, 0))
 
     v = scene.vertices
-    iv = scene.tri_v[tri]  # (N, 3)
+    meta = scene.tri_meta[tri]  # one packed row: poly/neighbors/tri_v
+    iv = meta[:, 4:7]  # (N, 3)
     v0, v1, v2 = v[iv[:, 0]], v[iv[:, 1]], v[iv[:, 2]]
     o_cmp = tuple(rays.origin[..., c] for c in range(3))
     d_cmp = tuple(rays.direction[..., c] for c in range(3))
@@ -222,7 +239,7 @@ def finalize_hits(
     t = jnp.where(hit, t, 0.0)  # keep grads NaN-free on misses
 
     point = rays.origin + t[..., None] * rays.direction
-    poly = jnp.where(hit, scene.tri_poly[tri], NO_POLY)
+    poly = jnp.where(hit, meta[:, 0], NO_POLY)
     return HitRecord(
         hit=hit,
         t=jnp.where(hit, t, jnp.inf),

@@ -242,8 +242,17 @@ def build_voxel_grid(
         tri, tri_poly, tri_top, cell_start[:-1].astype(np.int64), counts,
         cell_tris,
     )
-    if n_wins_per_cell.max(initial=0) >= (1 << 23):
-        raise ValueError("cell window count overflows meta packing")
+    if n_wins_per_cell.max(initial=0) >= (1 << 8):
+        raise ValueError(
+            "a cell holds >=256 window rows — raise the grid resolution "
+            "(domain/max_doublings) or avg_polys; the traversal packs "
+            "(win_start, n_wins) runs into one i32 (8-bit width field)"
+        )
+    if len(win_data) - 1 >= (1 << 23):
+        raise ValueError(
+            "window table exceeds 2^23 rows; the traversal packs "
+            "(win_start, n_wins) runs into one i32 (23-bit start field)"
+        )
 
     dist = _chebyshev_distance((counts > 0).reshape(dims))
     cell_meta = np.empty((n_cells, 2), np.int32)
@@ -350,19 +359,23 @@ def shoot_grid(
     dims_c = grid.dims
 
     safe_d = tuple(jnp.where(dc == 0, 1.0, dc) for dc in dcmp)
+    # Reciprocals hoisted out of the march loop: VPU divides cost ~10x a
+    # multiply and the body divides 3-6x per step otherwise.
+    inv_sd = tuple(1.0 / sd for sd in safe_d)
+    inv_vox_c = [1.0 / v for v in vox_c]
     step_c = tuple(
         jnp.where(dc > 0, 1, jnp.where(dc < 0, -1, 0)).astype(jnp.int32)
         for dc in dcmp
     )
     t_delta = tuple(
-        jnp.where(dc == 0, inf, vox_c[c] / jnp.abs(safe_d[c]))
+        jnp.where(dc == 0, inf, vox_c[c] * jnp.abs(inv_sd[c]))
         for c, dc in enumerate(dcmp)
     )
     min_delta = jnp.minimum(jnp.minimum(t_delta[0], t_delta[1]), t_delta[2])
 
     # Per-ray context: every per-ray constant phase 1/2 reads.  Bundled so
     # the straggler rounds can GATHER a compacted copy (see below).
-    rctx = (ocmp, dcmp, safe_d, step_c, t_delta, min_delta, o, d, ex)
+    rctx = (ocmp, dcmp, safe_d, inv_sd, step_c, t_delta, min_delta, o, d, ex)
 
     def locate(t_at):
         """Per-axis cell index + t_max for the position at parameter t."""
@@ -370,13 +383,13 @@ def shoot_grid(
         for c in range(3):
             pos = ocmp[c] + t_at * dcmp[c]
             cl = jnp.clip(
-                jnp.floor((pos - gmin_c[c]) / vox_c[c]).astype(jnp.int32),
+                jnp.floor((pos - gmin_c[c]) * inv_vox_c[c]).astype(jnp.int32),
                 0,
                 dims_c[c] - 1,
             )
             nxt = gmin_c[c] + (cl + (dcmp[c] > 0)) * vox_c[c]
             t_max.append(
-                jnp.where(dcmp[c] == 0, inf, (nxt - ocmp[c]) / safe_d[c])
+                jnp.where(dcmp[c] == 0, inf, (nxt - ocmp[c]) * inv_sd[c])
             )
             cell.append(cl)
         return tuple(cell), tuple(t_max)
@@ -407,13 +420,14 @@ def shoot_grid(
         compacted straggler rounds (lockstep cost is per-lane-step; marching
         N lanes for a sub-NS straggler set wastes N/NS of the work).
         """
-        (ocmp, dcmp, safe_d, step_c, t_delta, min_delta, _, _, _) = ctx
+        (ocmp, dcmp, safe_d, inv_sd, step_c, t_delta, min_delta,
+         _, _, _) = ctx
         izv = cell[0] * 0  # varying zero at this width
         n = cell[0].shape[0]
 
         def p1_cond(s):
             n_coll = jnp.sum(s[3].astype(jnp.int32))
-            return (n_coll > min_active) & (s[9] < steps_cap)
+            return (n_coll > min_active) & (s[8] < steps_cap)
 
         def p1_body(s):
             # UNROLL sub-steps per while iteration: the loop-exit check is a
@@ -429,7 +443,7 @@ def shoot_grid(
             return s
 
         def p1_step(s):
-            (cell, t_max, t_enter, collecting, wsb, wb, cnt_c, cnt_w,
+            (cell, t_max, t_enter, collecting, runs, cnt_c, cnt_w,
              iters, steps, paused) = s
             cx, cy, cz = cell
             tmx, tmy, tmz = t_max
@@ -439,13 +453,14 @@ def shoot_grid(
             w = jax.lax.shift_right_logical(meta[:, 1], 8)
             dist = meta[:, 1] & 0xFF
 
-            # Append this occupied cell's window RUN to the per-ray list.
+            # Append this occupied cell's window RUN to the per-ray list —
+            # (start, width) packed into one i32 so the append is a single
+            # (n, K) select (ws < 2^23 is checked at build time).
             need = w > 0
             fits = (cnt_w + w <= C) & (cnt_c < K)
             take = collecting & need & fits
             tk = take[:, None] & (lanes_k == cnt_c[:, None])
-            wsb = jnp.where(tk, ws[:, None], wsb)
-            wb = jnp.where(tk, w[:, None], wb)
+            runs = jnp.where(tk, ((ws << 8) | w)[:, None], runs)
             cnt_c = cnt_c + take.astype(jnp.int32)
             cnt_w = cnt_w + jnp.where(take, w, 0)
 
@@ -473,14 +488,14 @@ def shoot_grid(
                 tm_s = tm + jnp.where(adv, t_delta[c], 0.0)
                 pos_j = ocmp[c] + t_land * dcmp[c]
                 cl_j = jnp.floor(
-                    (pos_j - gmin_c[c]) / vox_c[c]
+                    (pos_j - gmin_c[c]) * inv_vox_c[c]
                 ).astype(jnp.int32)
                 cl = jnp.where(jumping, cl_j, cl_s)
                 off = off | ((cl < 0) | (cl >= dims_c[c]))
                 cl = jnp.clip(cl, 0, dims_c[c] - 1)
                 nxt = gmin_c[c] + (cl + (dcmp[c] > 0)) * vox_c[c]
                 tm_j = jnp.where(
-                    dcmp[c] == 0, inf, (nxt - ocmp[c]) / safe_d[c]
+                    dcmp[c] == 0, inf, (nxt - ocmp[c]) * inv_sd[c]
                 )
                 new_cell.append(cl)
                 new_tmax.append(jnp.where(jumping, tm_j, tm_s))
@@ -494,12 +509,11 @@ def shoot_grid(
             collecting = move & ~off & (t_enter <= best_t)
             iters = iters + collecting.astype(jnp.int32)
             return (tuple(new_cell), tuple(new_tmax), t_enter, collecting,
-                    wsb, wb, cnt_c, cnt_w, iters, steps + 1, paused)
+                    runs, cnt_c, cnt_w, iters, steps + 1, paused)
 
         init = (
             cell, t_max, t_enter, active,
-            izv[:, None] + jnp.zeros((1, K), jnp.int32),  # wsb (run starts)
-            izv[:, None] + jnp.zeros((1, K), jnp.int32),  # wb (run widths)
+            izv[:, None] + jnp.zeros((1, K), jnp.int32),  # runs (ws<<8 | w)
             izv,  # cnt_c (occupied cells collected)
             izv,  # cnt_w (window rows collected)
             izv,  # iters
@@ -507,7 +521,7 @@ def shoot_grid(
             active & False,  # paused (buffer overflow)
         )
         out = jax.lax.while_loop(p1_cond, p1_body, init)
-        (cell, t_max, t_enter, collecting, wsb, wb, _, _, iters, _,
+        (cell, t_max, t_enter, collecting, runs, _, _, iters, _,
          paused) = out
         # Rays stopped by the steps cap (still `collecting`) also pause.
         paused = paused | collecting
@@ -519,7 +533,8 @@ def shoot_grid(
         buf = jnp.full((n, C), null_row, jnp.int32) + izv[:, None]
         off = izv
         for k in range(K):
-            wk, wsk = wb[:, k], wsb[:, k]
+            wk = runs[:, k] & 0xFF
+            wsk = jax.lax.shift_right_logical(runs[:, k], 8)
             sel = (lanes >= off[:, None]) & (lanes < (off + wk)[:, None])
             buf = jnp.where(sel, wsk[:, None] + (lanes - off[:, None]), buf)
             off = off + wk
@@ -527,7 +542,7 @@ def shoot_grid(
 
     # ======== phase 2: shared batched window test (accel/common.py) =======
     def test(ctx, buf, active, best_t, best_tri):
-        o_, d_, ex_ = ctx[6], ctx[7], ctx[8]
+        o_, d_, ex_ = ctx[7], ctx[8], ctx[9]
         return test_windows(
             grid.win_data, buf, o_, d_, ex_, active, best_t, best_tri,
             min_t, top_index, kernel=kernel,
@@ -567,7 +582,7 @@ def shoot_grid(
     best_tri = jnp.full((N,), -1, jnp.int32) + izero_v
     cell, t_max, t_enter, resolved, best_t, best_tri, iters = run_round(
         rctx, cell, t_max, t_enter, ~done, best_t, best_tri,
-        p1_steps_max, 0,
+        p1_steps_max, NS if NS < N else 0,
     )
     done = done | resolved
 

@@ -50,6 +50,15 @@ class Scene(NamedTuple):
     # ``Spatial_Partition.cs:33``): a reflection starting on an edge shared
     # by two coplanar polygons must exclude both.
     tri_edge_poly: jnp.ndarray  # (T, 3) i32
+    # Packed per-triangle static metadata — ONE gather row serves the whole
+    # bounce step (profiled: the 5-6 separate narrow per-ray gathers this
+    # replaces cost ~1 ms/bounce at 32k rays):
+    #   lane 0    tri_poly
+    #   lanes 1-3 tri_edge_poly pre-filtered to COPLANAR neighbors only
+    #             (poly_plane equality folded in at build time)
+    #   lanes 4-6 tri_v
+    #   lane 7    tri_top
+    tri_meta: jnp.ndarray  # (T, 8) i32
 
     @property
     def n_tris(self) -> int:

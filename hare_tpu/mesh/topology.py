@@ -501,7 +501,21 @@ def build_scene(
     tri_top = np.concatenate([tri_top, np.full(Tp - T, -1, np.int32)])
     tri_edge_poly = np.concatenate(
         [tri_edge_poly, np.full((Tp - T, 3), -1, np.int64)]
+    ).astype(np.int32)
+
+    # Packed static per-tri metadata row (see Scene.tri_meta).  The coplanar
+    # filter on edge neighbors is static (plane ids are build products), so
+    # the bounce loop's poly_origin2 logic needs no plane lookups at all.
+    safe_nbr = np.maximum(tri_edge_poly, 0)
+    own_plane = poly_plane[np.maximum(np.minimum(tri_poly, len(poly_plane) - 1), 0)]
+    coplanar = (tri_edge_poly >= 0) & (
+        poly_plane[safe_nbr] == own_plane[:, None]
     )
+    tri_meta = np.empty((Tp, 8), np.int32)
+    tri_meta[:, 0] = tri_poly
+    tri_meta[:, 1:4] = np.where(coplanar, tri_edge_poly, -1)
+    tri_meta[:, 4:7] = tri_v
+    tri_meta[:, 7] = tri_top
 
     return Scene(
         vertices=jnp.asarray(vertices, dtype),
@@ -509,7 +523,8 @@ def build_scene(
         tri_poly=jnp.asarray(tri_poly),
         tri_top=jnp.asarray(tri_top),
         poly_plane=jnp.asarray(poly_plane),
-        tri_edge_poly=jnp.asarray(tri_edge_poly.astype(np.int32)),
+        tri_edge_poly=jnp.asarray(tri_edge_poly),
+        tri_meta=jnp.asarray(tri_meta),
     )
 
 

@@ -177,11 +177,16 @@ def trace_rays(
         hr = shoot_fn(scene, r) if aux is None else shoot_fn(scene, r, aux)
         live_hit = hr.hit & s.alive
 
+        # ONE static metadata gather serves the whole step: poly id, coplanar
+        # edge neighbors, and vertex ids ride in one (N, 8) row (the same row
+        # finalize_hits gathers — XLA CSE merges the two).
+        tri = jnp.maximum(hr.tri_id, 0)
+        meta = scene.tri_meta[tri]
+        iv = meta[:, 4:7]
+
         # Geometric normal of the hit triangle from live vertices (grad path
         # to vertex positions flows through here and through hr itself).
-        tri = jnp.maximum(hr.tri_id, 0)
         v = scene.vertices
-        iv = scene.tri_v[tri]
         e1 = v[iv[:, 1]] - v[iv[:, 0]]
         e2 = v[iv[:, 2]] - v[iv[:, 0]]
         n_hat = normalize(jnp.cross(e1, e2))
@@ -218,18 +223,16 @@ def trace_rays(
         # COPLANAR polygon, that polygon must be excluded too (the f32
         # origin can round to its far side and re-hit it at tiny t).
         # Barycentric edge proximity: w = weight(v0), u = weight(v1),
-        # v = weight(v2); edge k joins corners (k, k+1).
+        # v = weight(v2); edge k joins corners (k, k+1).  The coplanarity
+        # filter is pre-baked into tri_meta lanes 1-3, so the nearest-edge
+        # neighbor is a 3-way select — no gathers.
         w_b = 1.0 - hr.u - hr.v
-        bary = jnp.stack([hr.v, w_b, hr.u], axis=-1)  # edge 0/1/2 distance
-        edge_k = jnp.argmin(bary, axis=-1)
-        on_edge = jnp.min(bary, axis=-1) < EDGE_EPS
-        nbr = jnp.take_along_axis(
-            scene.tri_edge_poly[tri], edge_k[:, None], axis=-1
-        )[:, 0]
-        coplanar = (nbr >= 0) & (
-            scene.poly_plane[jnp.maximum(nbr, 0)] == scene.poly_plane[pid]
-        )
-        ex2 = jnp.where(live_hit & on_edge & coplanar, nbr, NO_POLY)
+        b0, b1, b2 = hr.v, w_b, hr.u  # edge 0/1/2 distance
+        n01 = jnp.where(b0 <= b1, meta[:, 1], meta[:, 2])
+        d01 = jnp.minimum(b0, b1)
+        nbr = jnp.where(d01 <= b2, n01, meta[:, 3])
+        on_edge = jnp.minimum(d01, b2) < EDGE_EPS
+        ex2 = jnp.where(live_hit & on_edge & (nbr >= 0), nbr, NO_POLY)
         exclude = jnp.stack(
             [jnp.where(live_hit, hr.poly_id, NO_POLY), ex2], axis=-1
         )
