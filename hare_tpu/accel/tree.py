@@ -1,7 +1,7 @@
 """Shared batched tree traversal for octree and KD-tree (TPU lockstep form).
 
 The reference traverses both trees with per-ray recursion replaced by an
-explicit ``Stack<(node, tmin, tmax)>`` (``Octree - alt.cs:196-274``,
+explicit ``Stack<(node,tmin,tmax)>`` (``Octree - alt.cs:196-274``,
 ``KDTree.cs:204-361``).  A per-ray stack machine is the wrong shape for a
 TPU (it vmaps into a sea of scalar conds and dynamic-index scatters), so
 both trees share this batched redesign, mirroring the voxel grid's
@@ -12,7 +12,7 @@ Layout: one gather-row per node packs ALL K children component-major —
 lane ``c*K + k`` holds component c of child k, components being
 [min.xyz | max.xyz | child node id | leaf window start | leaf window
 count].  K = 8 (octree) or 2 (KD-tree).  Leaf triangle lists live in the
-shared 128-lane window rows (``accel/common.pack_windows``).
+shared packed window rows (``accel/common.pack_windows``).
 
 Traversal: ALL rays run in lockstep; each iteration pops one node per ray
 (one-hot select from the per-ray register stack — no dynamic scatters),
@@ -26,11 +26,26 @@ resumes paused rays with ``best_t`` pruning (child boxes with
 most once, duplicate triangle tests are idempotent under min-t — results
 are exact, with no mailboxing (SURVEY.md §2) and no ordering requirement.
 
+TPU cost shaping (profiled r3, 82k-tri scene, 32k rays):
+  - Stack entries are ONE i32 — ``node_id << 8 | quantized_tmin`` — so
+    every push/pop touches a single (N, S) array.  The earlier parallel
+    f32 tmin stack doubled the dominant VPU traffic (the K sequential
+    (N, S) push selects), costing ~1 ms/iteration at S = 74.
+  - ``tmin`` is quantized to 8 bits against the ray's root-slab span for
+    pop-time pruning: ``q(tmin) > q(best_t)`` implies ``tmin > best_t``
+    (floor quantization), so the prune is conservative and exact.
+  - The pop/expand body runs UNROLL sub-steps per ``while`` iteration —
+    the loop-exit check is a cross-lane reduction (a pipeline sync).
+  - Round-level straggler compaction (as in ``voxel.py``): lockstep cost
+    is per-lane-step and KD pop counts are long-tailed (mean 43 / max 118
+    measured), so unresolved rays are compacted into an NS-wide state and
+    marched there instead of dragging all N lanes along.
+
 Differences from the reference, by design:
-  - ``closestT`` pruning (``Octree - alt.cs:210-211``) appears as round-
-    level ``best_t`` pruning rather than per-pop ordering; the KD-tree's
-    missing prune (SURVEY.md §2, "full subtree visited") is thereby fixed
-    for both.
+  - ``closestT`` pruning (``Octree - alt.cs:210-211``) appears as pop-time
+    quantized-tmin pruning plus round-level ``best_t`` pruning; the
+    KD-tree's missing prune (SURVEY.md §2, "full subtree visited") is
+    thereby fixed for both.
   - multi-topology works (``top_index`` filter at test time) instead of the
     reference's per-topology root overwrite defect (``KDTree.cs:71-87``,
     ``Octree - alt.cs:63-88``).
@@ -67,7 +82,7 @@ class TreeTables:
     """Device tables for a K-ary spatial tree (octree K=8, KD-tree K=2)."""
 
     node_rows: jnp.ndarray  # (n_nodes + 1, row_width) f32 child-packed rows
-    win_data: jnp.ndarray  # (n_windows + 1, 128) f32 shared window rows
+    win_data: jnp.ndarray  # (n_windows + 1, 12*win) f32 shared window rows
     root_min: jnp.ndarray  # (3,) f32
     root_max: jnp.ndarray  # (3,) f32
     branch: int  # K
@@ -98,6 +113,11 @@ def build_tree_tables(
     """
     K = child_ids.shape[1]
     n = len(node_min)
+    if n + 2 >= (1 << 23):
+        raise ValueError(
+            "tree exceeds 2^23 nodes; the traversal packs (node, qtmin) "
+            "stack entries into one i32 (23-bit node field)"
+        )
     counts = np.fromiter((len(l) for l in leaf_lists), np.int64, n)
     starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
     items = (
@@ -176,7 +196,7 @@ def shoot_tree(
     top_index: Optional[int] = None,
     with_stats: bool = False,
     cap: int = 8,
-    march: int = 32,
+    march: int = 64,
     ordered: bool = False,
 ):
     """Nearest-hit query via lockstep collect-then-test tree traversal."""
@@ -190,6 +210,9 @@ def shoot_tree(
     # Round bound: every round pops at least one node per active ray or
     # pauses with a strictly fuller buffer; nodes are finite.
     max_rounds = tree.n_nodes
+    # KD bodies are cheap (2-wide child ops on a 22-slot stack) but pop
+    # counts are high — deeper unroll amortizes the loop-exit sync.
+    UNROLL = 4
 
     dtype = tree.win_data.dtype
     inf = jnp.asarray(jnp.inf, dtype)
@@ -200,34 +223,65 @@ def shoot_tree(
 
     inv_d = 1.0 / jnp.where(d == 0, jnp.asarray(1e-30, dtype), d)  # (N, 3)
 
+    # ---- 8-bit tmin quantization frame from the root slab: q is monotone
+    # (floor), so q(a) > q(b) implies a > b and pruning on q is exact-safe.
+    t_lo = jnp.full((N,), -jnp.inf, dtype)
+    t_hi = jnp.full((N,), jnp.inf, dtype)
+    for c in range(3):
+        t1 = (tree.root_min[c] - o[:, c]) * inv_d[:, c]
+        t2 = (tree.root_max[c] - o[:, c]) * inv_d[:, c]
+        t_lo = jnp.maximum(t_lo, jnp.minimum(t1, t2))
+        t_hi = jnp.minimum(t_hi, jnp.maximum(t1, t2))
+    tq0 = jnp.maximum(t_lo, 0.0)
+    span = jnp.maximum(t_hi - tq0, jnp.asarray(1e-20, dtype))
+    inv_qs = 253.0 / span  # q in [0, 254]; 254 also covers +inf
+
     vzero = jnp.sum(o, axis=-1) * 0.0
     izero_v = vzero.astype(jnp.int32)
     izero = jnp.sum(izero_v)
     lanesC = jnp.arange(C, dtype=jnp.int32)[None, :]
     lanesS = jnp.arange(S, dtype=jnp.int32)[None, :]
+    lanesK = jnp.arange(K, dtype=jnp.int32)[None, :]
 
-    def collect(stack, stmin, sp, active, best_t, steps_cap):
-        """Pop/expand until stacks empty, buffers full, or steps_cap.
+    # Per-ray context rows; bundled so straggler rounds can gather a
+    # compacted copy (mirrors voxel.py).
+    rctx = (o, d, inv_d, ex, tq0, inv_qs)
 
-        Front-to-back: children are pushed in DESCENDING-tmin order (nearest
-        pops first — the lockstep analog of ``ComputeTraversalOrder``,
-        ``Octree - alt.cs:286-306``), and each stack entry carries its tmin
-        in a parallel register stack so pops prune against ``best_t`` inside
-        the loop (``closestT <= nodeTmin``, ``Octree - alt.cs:210-211``).
-        """
+    def quant(ctx, t):
+        """(n,)/(n,K) t -> clipped 8-bit bucket in this ray's frame."""
+        tq0_, inv_qs_ = ctx[4], ctx[5]
+        if t.ndim == 2:
+            tq0_, inv_qs_ = tq0_[:, None], inv_qs_[:, None]
+        return jnp.clip(
+            jnp.floor((t - tq0_) * inv_qs_), 0.0, 254.0
+        ).astype(jnp.int32)
+
+    def collect(ctx, stack, sp, active, best_t, steps_cap, min_active=0):
+        """Pop/expand until stacks empty, buffers full, or steps_cap."""
+        o_, d_, inv_d_, _, _, _ = ctx
+        n = sp.shape[0]
+        izv = sp * 0
+        q_best = quant(ctx, best_t)
 
         def cond(s):
-            return jnp.logical_not(jnp.all(~s[3])) & (s[7] < steps_cap)
+            n_run = jnp.sum(s[2].astype(jnp.int32))
+            return (n_run > min_active) & (s[6] < steps_cap)
 
         def body(s):
-            stack, stmin, sp, running, buf, cnt, iters, steps = s
-            # ---- pop via one-hot select (no dynamic gathers on (N, S)).
+            for _ in range(UNROLL):
+                s = step(s)
+            return s
+
+        def step(s):
+            stack, sp, running, buf, cnt, iters, steps = s
+            # ---- pop via one-hot select (no dynamic gathers on (n, S)).
             top_oh = lanesS == (sp - 1)[:, None]
-            nid = jnp.sum(jnp.where(top_oh, stack, 0), axis=1)
-            node_tmin = jnp.sum(jnp.where(top_oh, stmin, 0.0), axis=1)
-            # Pop-time prune: a node entered beyond the best hit is discarded
-            # without expansion (its row gather is redirected to the null row).
-            pruned = running & (node_tmin > best_t)
+            ent = jnp.sum(jnp.where(top_oh, stack, 0), axis=1)
+            nid = jax.lax.shift_right_logical(ent, 8)
+            q_node = ent & 0xFF
+            # Pop-time prune: a node entered beyond the best hit is
+            # discarded without expansion (row gather -> null row).
+            pruned = running & (q_node > q_best)
             row = tree.node_rows[
                 jnp.where(running & ~pruned, nid, tree.n_nodes)
             ]
@@ -240,11 +294,11 @@ def shoot_tree(
             ws = jax.lax.bitcast_convert_type(blk[7], jnp.int32)
             nw = jax.lax.bitcast_convert_type(blk[8], jnp.int32)
 
-            t_lo = jnp.full((N, K), -jnp.inf, dtype)
-            t_hi = jnp.full((N, K), jnp.inf, dtype)
+            t_lo = jnp.full((n, K), -jnp.inf, dtype)
+            t_hi = jnp.full((n, K), jnp.inf, dtype)
             for c in range(3):
-                t1 = (bmin[c] - o[:, c : c + 1]) * inv_d[:, c : c + 1]
-                t2 = (bmax[c] - o[:, c : c + 1]) * inv_d[:, c : c + 1]
+                t1 = (bmin[c] - o_[:, c : c + 1]) * inv_d_[:, c : c + 1]
+                t2 = (bmax[c] - o_[:, c : c + 1]) * inv_d_[:, c : c + 1]
                 t_lo = jnp.maximum(t_lo, jnp.minimum(t1, t2))
                 t_hi = jnp.minimum(t_hi, jnp.maximum(t1, t2))
             tmin = jnp.maximum(t_lo, 0.0)
@@ -267,86 +321,158 @@ def shoot_tree(
                 sel = take[:, None] & (lanesC >= off[:, None]) & (
                     lanesC < (off + w_k)[:, None]
                 )
-                buf = jnp.where(sel, ws[:, k : k + 1] + (lanesC - off[:, None]), buf)
+                buf = jnp.where(
+                    sel, ws[:, k : k + 1] + (lanesC - off[:, None]), buf
+                )
                 off = off + jnp.where(take, w_k, 0)
             cnt = jnp.where(expand, off, cnt)
 
-            # ---- pop the node and push internal hit children far-to-near:
-            # sort by descending tmin so the NEAREST child is on top of the
-            # stack and pops first — best_t then tightens soonest.
+            # ---- pop the node and push internal hit children as single
+            # packed i32 entries (node << 8 | qtmin).
             sp = jnp.where(expand, sp - 1, sp)
+            entk = jax.lax.shift_left(cid, 8) | quant(ctx, tmin)
             if ordered and K > 1:
                 # Front-to-back push ordering (``ComputeTraversalOrder``,
                 # ``Octree - alt.cs:286-306``).  Measured on TPU: the
                 # in-loop sort/shuffle costs 2-3x more than the pops it
-                # saves — pop-time tmin pruning above already captures the
-                # benefit (identical iteration counts on the bench scene) —
-                # so ordering is OFF by default and kept as a knob for
-                # extremely divergence-heavy scenes.
+                # saves — pop-time qtmin pruning above already captures
+                # the benefit — so ordering is OFF by default and kept as
+                # a knob for extremely divergence-heavy scenes.
                 key = jnp.where(push_hit, tmin, -jnp.inf)
                 order = jnp.argsort(-key, axis=1)
-                cid_p = jnp.take_along_axis(cid, order, 1)
+                entk = jnp.take_along_axis(entk, order, 1)
                 push_p = jnp.take_along_axis(push_hit, order, 1)
-                tmin_p = jnp.take_along_axis(tmin, order, 1)
             else:
-                cid_p, push_p, tmin_p = cid, push_hit, tmin
-            for k in range(K):
-                do = expand & push_p[:, k]
-                slot = do[:, None] & (lanesS == sp[:, None])
-                stack = jnp.where(slot, cid_p[:, k : k + 1], stack)
-                stmin = jnp.where(slot, tmin_p[:, k : k + 1], stmin)
-                sp = sp + do.astype(jnp.int32)
+                push_p = push_hit
+
+            # A straight ray crosses at most 4 octants of an 8-way split
+            # (it crosses each axis plane at most once inside the node), so
+            # the first P compacted pushes cover every ray except the
+            # measure-zero family riding exactly on split planes (e.g. an
+            # axis-aligned ray through the center).  Those overflow slots
+            # are handled in a lax.cond arm that almost never executes —
+            # the (n, S) stack selects are the dominant VPU cost of the
+            # whole traversal, so halving the always-on count matters.
+            P = min(K, 4)
+            if K <= P:
+                for k in range(K):
+                    do = expand & push_p[:, k]
+                    slot = do[:, None] & (lanesS == sp[:, None])
+                    stack = jnp.where(slot, entk[:, k : k + 1], stack)
+                    sp = sp + do.astype(jnp.int32)
+            else:
+                pos = jnp.cumsum(push_p.astype(jnp.int32), axis=1) - 1
+
+                def push_slots(stack, sp, lo, hi):
+                    for s in range(lo, hi):
+                        oh = push_p & (pos == s)
+                        ent_s = jnp.sum(jnp.where(oh, entk, 0), axis=1)
+                        do = expand & jnp.any(oh, axis=1)
+                        slot = do[:, None] & (lanesS == sp[:, None])
+                        stack = jnp.where(slot, ent_s[:, None], stack)
+                        sp = sp + do.astype(jnp.int32)
+                    return stack, sp
+
+                stack, sp = push_slots(stack, sp, 0, P)
+                n_push = jnp.sum(push_p.astype(jnp.int32), axis=1)
+                stack, sp = jax.lax.cond(
+                    jnp.any(expand & (n_push > P)),
+                    lambda st_sp: push_slots(*st_sp, P, K),
+                    lambda st_sp: st_sp,
+                    (stack, sp),
+                )
 
             running = running & expand & (sp > 0)
             iters = iters + running.astype(jnp.int32)
-            return (stack, stmin, sp, running, buf, cnt, iters, steps + 1)
+            return (stack, sp, running, buf, cnt, iters, steps + 1)
 
         init = (
-            stack, stmin, sp, active & (sp > 0),
-            jnp.full((N, C), null_row, jnp.int32) + izero_v[:, None],
-            izero_v,
-            izero_v,
-            izero,
+            stack, sp, active & (sp > 0),
+            jnp.full((n, C), null_row, jnp.int32) + izv[:, None],
+            izv,  # cnt (buffer fill)
+            izv,  # iters
+            jnp.sum(izv),  # steps (scalar)
         )
-        stack, stmin, sp, running, buf, cnt, iters, _ = jax.lax.while_loop(
+        stack, sp, running, buf, cnt, iters, _ = jax.lax.while_loop(
             cond, body, init
         )
-        return stack, stmin, sp, buf, iters
+        return stack, sp, buf, iters
 
-    def r_cond(c):
-        return jnp.logical_not(jnp.all(c[3])) & (c[6] < max_rounds)
-
-    def r_body(c):
-        stack, stmin, sp, done, best_t, best_tri, rounds, iters = c
-        stack, stmin, sp, buf, it1 = collect(
-            stack, stmin, sp, ~done, best_t, march
-        )
-        best_t, best_tri = test_windows(
-            tree.win_data, buf, o, d, ex, ~done, best_t, best_tri,
+    def test(ctx, buf, active, best_t, best_tri):
+        o_, d_, ex_ = ctx[0], ctx[1], ctx[3]
+        return test_windows(
+            tree.win_data, buf, o_, d_, ex_, active, best_t, best_tri,
             min_t, top_index, kernel=kernel,
         )
-        done = done | (sp == 0)
+
+    def run_round(ctx, stack, sp, active, best_t, best_tri, min_active=0):
+        stack, sp, buf, it1 = collect(
+            ctx, stack, sp, active, best_t, march, min_active
+        )
+        best_t, best_tri = test(ctx, buf, active, best_t, best_tri)
+        return stack, sp, best_t, best_tri, it1
+
+    # ======== round 1: full width =========================================
+    NS = min(N, max(2048, -(-N // 8)))  # compacted straggler width
+    stack0 = jnp.full((N, S), 0, jnp.int32) + izero_v[:, None]
+    stack0 = jnp.where(lanesS == 0, pseudo_root << 8, stack0)
+    sp0 = izero_v + 1
+    done0 = izero_v < 0
+    best_t0 = jnp.full((N,), jnp.inf, dtype) + vzero
+    best_tri0 = jnp.full((N,), -1, jnp.int32) + izero_v
+    stack, sp, best_t, best_tri, iters = run_round(
+        rctx, stack0, sp0, ~done0, best_t0, best_tri0,
+        NS if NS < N else 0,
+    )
+    done = done0 | (sp == 0)
+
+    # ======== straggler rounds: COMPACTED width ===========================
+    # Lockstep pays for the worst lane and tree pop counts are long-tailed
+    # (KD measured mean 43 / max 118 pops on the bench scene): unresolved
+    # rays are compacted (cumsum + scatter) into an NS-wide state — stack
+    # included — and marched there, so each extra round costs NS/N of a
+    # full one.
+    ray_ids = jnp.arange(N, dtype=jnp.int32) + izero_v
+    ns_lanes = jnp.arange(NS, dtype=jnp.int32) + izero_v[:NS]
+    max_small_rounds = max_rounds * max(1, N // NS)
+
+    def s_cond(c):
+        return jnp.logical_not(jnp.all(c[2])) & (c[5] < max_small_rounds)
+
+    def s_body(c):
+        stack, sp, done, best_t, best_tri, rounds, iters = c
+        active = ~done
+        pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+        sel = active & (pos < NS)
+        sidx = (jnp.zeros((NS,), jnp.int32) + izero_v[:NS]).at[
+            jnp.where(sel, pos, NS)
+        ].set(ray_ids, mode="drop")
+        msk = ns_lanes < jnp.sum(sel.astype(jnp.int32))
+
+        gath = lambda a: a[sidx]
+        ctx_s = jax.tree.map(gath, rctx)
+        stack_s, sp_s, bt_s, btr_s, it_s = run_round(
+            ctx_s, gath(stack), gath(sp), msk,
+            gath(best_t), gath(best_tri),
+        )
+        wi = jnp.where(msk, sidx, N)  # padding lanes dropped on scatter
+        put = lambda full, small: full.at[wi].set(small, mode="drop")
         return (
-            stack, stmin, sp, done, best_t, best_tri, rounds + 1,
-            iters + it1,
+            put(stack, stack_s),
+            put(sp, sp_s),
+            put(done, sp_s == 0),
+            put(best_t, bt_s),
+            put(best_tri, btr_s),
+            rounds + 1,
+            iters.at[wi].add(it_s, mode="drop"),
         )
 
-    stack0 = jnp.full((N, S), 0, jnp.int32) + izero_v[:, None]
-    stack0 = jnp.where(lanesS == 0, pseudo_root, stack0)
-    stmin0 = jnp.zeros((N, S), dtype) + vzero[:, None]
-    sp0 = izero_v + 1
-    init = (
-        stack0,
-        stmin0,
-        sp0,
-        izero_v < 0,  # done
-        jnp.full((N,), jnp.inf, dtype) + vzero,
-        jnp.full((N,), -1, jnp.int32) + izero_v,
-        izero,
-        izero_v,
+    out = jax.lax.while_loop(
+        s_cond,
+        s_body,
+        (stack, sp, done, best_t, best_tri, izero + 1, iters),
     )
-    out = jax.lax.while_loop(r_cond, r_body, init)
-    best_t, best_tri, iters = out[4], out[5], out[7]
+    best_t, best_tri, iters = out[3], out[4], out[6]
     hits = finalize_hits(scene, rays, best_t, best_tri, kernel)
     if with_stats:
         return hits, iters
