@@ -16,8 +16,11 @@ Each run prints one JSON line; results are recorded in BASELINE.md.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
@@ -157,11 +160,15 @@ def main(which: str):
               "device": dev})
 
     elif which == "5":
+        # True config-5 scale: 5.24M tris on a 256^3 grid (BASELINE.json
+        # configs[4] is 5M tris / 100M rays on a multi-host pod; this is
+        # the single-chip half — the multi-host half is the sharding
+        # overhead measurement in benchmarks/scaling.py).
         t0 = time.time()
-        top = Topology.build(big_scene("1.3M"))
+        top = Topology.build(big_scene("5M"))
         t_topo = time.time() - t0
         t0 = time.time()
-        sp = SpatialPartition(top, accel="grid")
+        sp = SpatialPartition(top, accel="grid", domain=256)
         t_accel = time.time() - t0
         n, B = 1 << 20, 2  # 1M rays x 2 bounces = 2M ray queries per pass
         d = uniform_sphere(jax.random.PRNGKey(0), n)
@@ -174,13 +181,19 @@ def main(which: str):
             return energy_histogram(res, 1024, 1e-3)
 
         dt = timeit(run, iters=3)
+        g = sp.struct
         emit(5, "Mrays/s fwd (single chip half of config 5)",
              n * B / dt / 1e6, "Mrays/s",
              {"tris": top.n_tris, "rays": n, "accel": "grid",
-              "grid_dims": sp.struct.dims, "bounces": B,
+              "grid_dims": g.dims, "bounces": B,
               "topo_build_s": round(t_topo, 1),
               "accel_build_s": round(t_accel, 1),
-              "win_data_MB": round(sp.struct.win_data.nbytes / 1e6),
+              "win_data_MB": round(g.win_data.nbytes / 1e6),
+              "meta_MB": round(g.cell_meta.nbytes / 1e6),
+              "dup_slots_per_tri": round(
+                  (g.win_data.shape[0] - 1)
+                  * (g.win_data.shape[1] // 12) / top.n_tris, 2),
+              "max_cell_wins": g.max_cell_wins,
               "device": dev})
 
     elif which == "deep":

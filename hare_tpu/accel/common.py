@@ -108,7 +108,50 @@ def pack_windows(
     return win_data, win_start[:-1], n_wins_per.astype(np.int64)
 
 
+# Rays per internal test chunk: bounds the materialized gather result to
+# ~C * 12*win * 4 * CHUNK bytes (~800 MB at C=16, win=16) so million-ray
+# batches don't OOM HBM on the 13 GB full-width gather (config-5 scale).
+TEST_CHUNK = 1 << 16
+
+
 def test_windows(
+    win_data: jnp.ndarray,
+    buf: jnp.ndarray,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    ex: jnp.ndarray,
+    active: jnp.ndarray,
+    best_t: jnp.ndarray,
+    best_tri: jnp.ndarray,
+    min_t: float,
+    top_index: Optional[int] = None,
+    kernel: str = "watertight",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    N = buf.shape[0]
+    n_chunks = -(-N // TEST_CHUNK)
+    if n_chunks > 1 and N % n_chunks == 0:
+        nc = N // n_chunks
+        rs = lambda a: a.reshape((n_chunks, nc) + a.shape[1:])
+
+        def one(args):
+            return _test_windows(
+                win_data, *args, min_t=min_t, top_index=top_index,
+                kernel=kernel,
+            )
+
+        bt, btr = jax.lax.map(
+            one,
+            (rs(buf), rs(o), rs(d), rs(ex), rs(active), rs(best_t),
+             rs(best_tri)),
+        )
+        return bt.reshape(N), btr.reshape(N)
+    return _test_windows(
+        win_data, buf, o, d, ex, active, best_t, best_tri,
+        min_t=min_t, top_index=top_index, kernel=kernel,
+    )
+
+
+def _test_windows(
     win_data: jnp.ndarray,
     buf: jnp.ndarray,
     o: jnp.ndarray,

@@ -19,11 +19,13 @@ gather engine, whose cost is per *row*, nearly independent of row width up
 to a (8, 128) tile (measured ~2.4 ns/row for 128-lane f32 rows vs ~4x that
 when the same data is split across four narrow gathers):
 
-  - ``win_data`` (n_windows, 128) f32: each row is one 8-triangle *window*
-    of a cell's triangle list — lanes [0:72] hold 8 x [v0|e1|e2]
-    Möller–Trumbore operands, lanes [72:80]/[80:88]/[88:96] hold the
-    triangle / polygon / topology ids bitcast to f32.  One traversal step
-    fetches ONE row per ray.
+  - ``win_data`` (n_windows, 12*win) f32: each row is one win-triangle
+    *window* of a cell's triangle list (win = 16 by default; see
+    ``accel/common.WIN``) — lanes [0:9*win] hold win x [v0|e1|e2]
+    Möller–Trumbore operands component-major, lanes [9*win:12*win] the
+    triangle / polygon / topology ids bitcast to f32.  The test phase
+    fetches whole rows; the row width is the bandwidth knob (the phase is
+    HBM-bound on the gathered bytes).
   - ``cell_meta`` (n_cells, 2) i32: [window start | n_windows << 8 | dist],
     where ``dist`` is the chebyshev distance to the nearest occupied cell —
     the principled form of the reference's six directional ``UInt16`` step
@@ -160,11 +162,24 @@ def _fill(
 def _chebyshev_distance(occ: np.ndarray, cap: int = DIST_CAP) -> np.ndarray:
     """Chebyshev distance-to-occupied over a 3-D bool grid, capped.
 
-    Iterative 3^3 min-erosion: converges in ``cap`` sweeps.  The skip rule
-    is provably safe: from anywhere inside a cell with dist D, the ray
-    crosses at least D-1 more cell boundaries before it can enter an
-    occupied cell.
+    The skip rule is provably safe: from anywhere inside a cell with dist
+    D, the ray crosses at least D-1 more cell boundaries before it can
+    enter an occupied cell.
+
+    scipy's two-pass chamfer transform is exact for the chessboard metric
+    and linear in cells (256^3 grids at config-5 scale would need ~cap
+    full-grid erosion sweeps otherwise); the iterative 3^3 min-erosion is
+    kept as a dependency-free fallback.
     """
+    if not occ.any():
+        return np.full(occ.shape, cap, np.int32)
+    try:
+        from scipy import ndimage
+
+        dist = ndimage.distance_transform_cdt(~occ, metric="chessboard")
+        return np.minimum(dist, cap).astype(np.int32)
+    except ImportError:
+        pass
     dist = np.where(occ, 0, cap).astype(np.int32)
     for _ in range(cap):
         m = dist.copy()
@@ -184,6 +199,7 @@ def build_voxel_grid(
     max_doublings: int = 6,
     avg_polys: float = 10.0,
     pad: float = 1e-3,
+    win: Optional[int] = None,
 ) -> VoxelGrid:
     """Build the grid.  ``domain`` given -> fixed ``domain^3`` resolution
     (``Voxel_Grid.cs:48``); ``domain=None`` -> adaptive doubling until the

@@ -54,6 +54,12 @@ class Ray(NamedTuple):
         """Point along the ray: origin + t * direction."""
         return self.origin + t[..., None] * self.direction
 
+    def reverse(self) -> "Ray":
+        """Flipped-direction copy (``Ray.Reverse()``,
+        ``Hare_Geometry_Primitives.cs:421-428`` — functional here: rays are
+        immutable pytrees, so reversal returns a new batch)."""
+        return self._replace(direction=-self.direction)
+
 
 class HitRecord(NamedTuple):
     """A batch of intersection results (the ``X_Event`` analog).

@@ -30,14 +30,36 @@ Semantics preserved from the reference:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence
+from typing import List, NamedTuple, Optional, Sequence
 
 import numpy as np
 import jax.numpy as jnp
 
 from .scene import PAD_POLY, Scene
 
-__all__ = ["GroupedRows", "Topology", "build_scene", "merge_topologies"]
+__all__ = [
+    "EdgeAux",
+    "GroupedRows",
+    "Topology",
+    "build_scene",
+    "merge_topologies",
+]
+
+
+class EdgeAux(NamedTuple):
+    """Device-side edge-diffraction arrays (see ``Topology.device_aux``).
+
+    Ragged per-edge incident-polygon lists are padded to ``kmax`` lanes
+    (``edge_poly == -1`` marks padding).
+    """
+
+    vertex_normals: "jnp.ndarray"  # (V, 3)
+    edges: "jnp.ndarray"  # (E, 2) i32 vertex pairs
+    edge_poly: "jnp.ndarray"  # (E, kmax) i32, -1 padded
+    edge_tributary_area: "jnp.ndarray"  # (E, kmax)
+    edge_tributary_length: "jnp.ndarray"  # (E, kmax)
+    edge_tangent: "jnp.ndarray"  # (E, kmax, 3) unit toward poly centroid
+    poly_frame: "jnp.ndarray"  # (P, 3, 3) rows (diffx, diffy, diffz)
 
 # Degenerate-edge threshold (Hare_Geometry_Topology.cs:282).
 MIN_EDGE_LEN = 1e-4
@@ -420,6 +442,68 @@ class Topology:
         NOT recomputed (matching the reference, which also leaves polygon
         normals stale); device kernels recompute from vertices anyway."""
         self.vertices[index] = np.asarray(xyz, np.float64)
+
+    def poly_frames(self) -> np.ndarray:
+        """Per-polygon orthonormal local frame, ``(P, 3, 3)`` with rows
+        (diffx, diffy, diffz) — the stored frame of
+        ``Hare_Geometry_Polygons.cs:173-182``: diffz = unit normal, diffx =
+        first edge normalized, diffy = diffz x diffx.  Degenerate polygons
+        get a zero frame."""
+        P = self.n_polys
+        v = self.vertices
+        i0 = np.fromiter((pv[0] for pv in self.poly_verts), np.int64, P)
+        i1 = np.fromiter((pv[1] for pv in self.poly_verts), np.int64, P)
+        dx = v[i1] - v[i0]
+        ln = np.linalg.norm(dx, axis=1, keepdims=True)
+        dx = np.where(ln > 0, dx / np.where(ln > 0, ln, 1), 0.0)
+        dz = self.poly_normal
+        dy = np.cross(dz, dx)
+        frames = np.stack([dx, dy, dz], axis=1)
+        frames[self.poly_degenerate] = 0.0
+        return frames
+
+    def device_aux(self, dtype=np.float32) -> "EdgeAux":
+        """Device-side consumer arrays for edge diffraction (SURVEY.md C4):
+        vertex normals (``Hare_Geometry_Topology.cs:169-179``), per-edge
+        tributary area / length / tangent per incident polygon
+        (``Hare_Geometry_Primitives.cs:288-299``), and polygon local frames
+        — padded ragged-to-rectangular so an acoustic consumer can gather
+        them per hit without leaving the device."""
+        E = len(self.edges)
+        counts = (
+            np.diff(self.edge_polys.start)
+            if isinstance(self.edge_polys, GroupedRows)
+            else np.fromiter((len(g) for g in self.edge_polys), np.int64, E)
+        )
+        kmax = int(counts.max(initial=1))
+        ep = np.full((E, kmax), -1, np.int32)
+        ta = np.zeros((E, kmax), dtype)
+        tl = np.zeros((E, kmax), dtype)
+        tg = np.zeros((E, kmax, 3), dtype)
+        lane = np.arange(kmax)
+        msk = lane[None, :] < counts[:, None]
+        if isinstance(self.edge_polys, GroupedRows):
+            pos = (self.edge_polys.start[:-1, None] + lane)[msk]
+            ep[msk] = self.edge_polys.values[pos]
+            ta[msk] = self.edge_tributary_area.values[pos]
+            tl[msk] = self.edge_tributary_length.values[pos]
+            tg[msk] = self.edge_tangents.values[pos]
+        else:  # plain list-of-arrays fallback
+            for e in range(E):
+                k = counts[e]
+                ep[e, :k] = self.edge_polys[e]
+                ta[e, :k] = self.edge_tributary_area[e]
+                tl[e, :k] = self.edge_tributary_length[e]
+                tg[e, :k] = self.edge_tangents[e]
+        return EdgeAux(
+            vertex_normals=jnp.asarray(self.vertex_normals, dtype),
+            edges=jnp.asarray(self.edges),
+            edge_poly=jnp.asarray(ep),
+            edge_tributary_area=jnp.asarray(ta),
+            edge_tributary_length=jnp.asarray(tl),
+            edge_tangent=jnp.asarray(tg),
+            poly_frame=jnp.asarray(self.poly_frames(), dtype),
+        )
 
 
 def _ceil_to(n: int, m: int) -> int:

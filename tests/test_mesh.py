@@ -116,3 +116,41 @@ def test_set_vertex():
     top = Topology.build(shapes.shoebox())
     top.set_vertex(0, (0.5, 0.5, 0.5))
     np.testing.assert_allclose(top.vertices[0], [0.5, 0.5, 0.5])
+
+
+def test_device_aux_arrays():
+    """Device EdgeAux: padded tributary data matches the host lists, poly
+    frames are orthonormal, ray reversal flips direction (consumer-surface
+    items: Hare_Geometry_Primitives.cs:288-299, 421-428;
+    Hare_Geometry_Polygons.cs:173-182; Hare_Geometry_Topology.cs:169-179)."""
+    from hare_tpu.geom import Ray
+
+    top = Topology.build(shapes.shoebox())
+    aux = top.device_aux()
+    E = top.n_edges
+    assert aux.edge_poly.shape[0] == E
+    ep = np.asarray(aux.edge_poly)
+    ta = np.asarray(aux.edge_tributary_area)
+    for e in range(E):
+        k = len(top.edge_polys[e])
+        assert (ep[e, :k] == np.asarray(top.edge_polys[e])).all()
+        assert (ep[e, k:] == -1).all()
+        np.testing.assert_allclose(
+            ta[e, :k], np.asarray(top.edge_tributary_area[e]), rtol=1e-6
+        )
+        assert (ta[e, k:] == 0).all()
+    # total tributary area over all edges covers each wall 1x... the sum of
+    # tributary areas equals the total surface area.
+    np.testing.assert_allclose(ta.sum(), top.poly_area.sum(), rtol=1e-5)
+    vn = np.asarray(aux.vertex_normals)
+    np.testing.assert_allclose(np.linalg.norm(vn, axis=1), 1.0, atol=1e-6)
+    # frames orthonormal, diffz == polygon normal
+    fr = np.asarray(aux.poly_frame)
+    eye = np.einsum("pij,pkj->pik", fr, fr)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-6)
+    np.testing.assert_allclose(fr[:, 2], top.poly_normal, atol=1e-6)
+    # Ray.reverse flips direction only
+    r = Ray.make(np.zeros((4, 3), np.float32), np.ones((4, 3), np.float32))
+    rr = r.reverse()
+    np.testing.assert_array_equal(np.asarray(rr.direction), -np.asarray(r.direction))
+    np.testing.assert_array_equal(np.asarray(rr.origin), np.asarray(r.origin))
