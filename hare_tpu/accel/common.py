@@ -129,8 +129,20 @@ def test_windows(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     N = buf.shape[0]
     n_chunks = -(-N // TEST_CHUNK)
-    if n_chunks > 1 and N % n_chunks == 0:
-        nc = N // n_chunks
+    if n_chunks > 1:
+        # Pad N up to a multiple of n_chunks (padding lanes are inactive, so
+        # they contribute nothing); without this, non-divisible ray counts
+        # (65537, any non-power-of-two million-ray batch) would silently fall
+        # back to the full-width gather this chunking exists to prevent.
+        nc = -(-N // n_chunks)
+        Np = n_chunks * nc
+
+        def padded(a, fill):
+            if Np == N:
+                return a
+            pw = ((0, Np - N),) + ((0, 0),) * (a.ndim - 1)
+            return jnp.pad(a, pw, constant_values=fill)
+
         rs = lambda a: a.reshape((n_chunks, nc) + a.shape[1:])
 
         def one(args):
@@ -141,10 +153,11 @@ def test_windows(
 
         bt, btr = jax.lax.map(
             one,
-            (rs(buf), rs(o), rs(d), rs(ex), rs(active), rs(best_t),
-             rs(best_tri)),
+            (rs(padded(buf, 0)), rs(padded(o, 0.0)), rs(padded(d, 1.0)),
+             rs(padded(ex, 0)), rs(padded(active, False)),
+             rs(padded(best_t, jnp.inf)), rs(padded(best_tri, -1))),
         )
-        return bt.reshape(N), btr.reshape(N)
+        return bt.reshape(Np)[:N], btr.reshape(Np)[:N]
     return _test_windows(
         win_data, buf, o, d, ex, active, best_t, best_tri,
         min_t=min_t, top_index=top_index, kernel=kernel,

@@ -256,7 +256,7 @@ def build_voxel_grid(
     # ---- pack per-cell lists into the shared 128-lane window-row layout.
     win_data, win_start, n_wins_per_cell = pack_windows(
         tri, tri_poly, tri_top, cell_start[:-1].astype(np.int64), counts,
-        cell_tris,
+        cell_tris, **({} if win is None else {"win": win}),
     )
     if n_wins_per_cell.max(initial=0) >= (1 << 8):
         raise ValueError(

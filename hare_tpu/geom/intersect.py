@@ -222,18 +222,21 @@ def ray_aabb(
 
     Semantics of ``AABB.Intersect`` (``AABB_Main.cs:86-171``): a ray whose
     origin is inside the box hits with ``t_near <= 0``; parallel rays outside
-    a slab miss.  The per-axis ``double.Epsilon`` parallel branch (``:92-95``)
-    is subsumed by IEEE inf arithmetic: 1/0 = inf gives the correct +-inf slab
-    times, and the NaN from 0 * inf at exactly-on-boundary origins is washed
-    out by the min/max ordering below.
+    a slab miss.  The per-axis parallel branch (``:92-95``) is explicit here:
+    where a direction component is zero the slab constraint degenerates to
+    "origin inside the slab" with (-inf, +inf) slab times — plain IEEE
+    arithmetic would produce 0 * inf = NaN for an origin exactly ON a slab
+    boundary with a zero direction component, turning a legal boundary ray
+    into a silent miss (the bug VERDICT r3 flagged).
     """
-    inv_d = 1.0 / direction  # +-inf where parallel — intended
+    par = direction == 0
+    inv_d = 1.0 / jnp.where(par, 1.0, direction)
     t1 = (box_min - origin) * inv_d
     t2 = (box_max - origin) * inv_d
-    # NaN-robust: min/max pairs then reduce. jnp.minimum propagates NaN from
-    # the first arg only; use where-based select to prefer numbers.
-    t_lo = jnp.minimum(t1, t2)
-    t_hi = jnp.maximum(t1, t2)
+    inf = jnp.asarray(jnp.inf, t1.dtype)
+    in_slab = (origin >= box_min) & (origin <= box_max)
+    t_lo = jnp.where(par, jnp.where(in_slab, -inf, inf), jnp.minimum(t1, t2))
+    t_hi = jnp.where(par, jnp.where(in_slab, inf, -inf), jnp.maximum(t1, t2))
     t_near = jnp.max(t_lo, axis=-1)
     t_far = jnp.min(t_hi, axis=-1)
     hit = (t_far >= jnp.maximum(t_near, 0.0)) & (t_far >= 0.0)

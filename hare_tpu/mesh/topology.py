@@ -590,11 +590,16 @@ def build_scene(
     # Packed static per-tri metadata row (see Scene.tri_meta).  The coplanar
     # filter on edge neighbors is static (plane ids are build products), so
     # the bounce loop's poly_origin2 logic needs no plane lookups at all.
-    safe_nbr = np.maximum(tri_edge_poly, 0)
-    own_plane = poly_plane[np.maximum(np.minimum(tri_poly, len(poly_plane) - 1), 0)]
-    coplanar = (tri_edge_poly >= 0) & (
-        poly_plane[safe_nbr] == own_plane[:, None]
-    )
+    if len(poly_plane):
+        safe_nbr = np.maximum(tri_edge_poly, 0)
+        own_plane = poly_plane[
+            np.maximum(np.minimum(tri_poly, len(poly_plane) - 1), 0)
+        ]
+        coplanar = (tri_edge_poly >= 0) & (
+            poly_plane[safe_nbr] == own_plane[:, None]
+        )
+    else:  # zero-polygon topology: only padded rows exist
+        coplanar = np.zeros((Tp, 3), bool)
     tri_meta = np.empty((Tp, 8), np.int32)
     tri_meta[:, 0] = tri_poly
     tri_meta[:, 1:4] = np.where(coplanar, tri_edge_poly, -1)

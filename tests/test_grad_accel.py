@@ -16,6 +16,7 @@ from hare_tpu.mesh import Topology, shapes
 from hare_tpu.trace import trace_rays, uniform_sphere
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("accel", ["grid", "octree", "kdtree"])
 def test_vertex_grads_match_brute(accel):
     top = Topology.build(shapes.shoebox(4, 5, 3))

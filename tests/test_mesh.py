@@ -154,3 +154,11 @@ def test_device_aux_arrays():
     rr = r.reverse()
     np.testing.assert_array_equal(np.asarray(rr.direction), -np.asarray(r.direction))
     np.testing.assert_array_equal(np.asarray(rr.origin), np.asarray(r.origin))
+
+
+def test_empty_topology_scene():
+    """A zero-polygon topology builds a (padded-only) scene without crashing
+    (ADVICE r3: IndexError on empty poly_plane)."""
+    sc = build_scene([Topology.build([])])
+    assert int(np.asarray(sc.tri_meta).shape[0]) > 0
+    assert (np.asarray(sc.tri_poly) == PAD_POLY).all()

@@ -67,7 +67,8 @@ print("GRADS " + json.dumps(out.tolist()))
 """
 
 
-@pytest.mark.timeout(300)
+# No pytest-timeout in this environment; the communicate(timeout=240) below
+# is the hang guard — a wedged coordinator fails the test, not the suite.
 def test_two_process_loopback(tmp_path):
     port = _free_port()
     coord = f"localhost:{port}"

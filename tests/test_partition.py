@@ -11,6 +11,7 @@ from hare_tpu.mesh import Topology, shapes
 from hare_tpu.trace import trace_rays
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("accel", ["brute", "grid", "octree", "kdtree"])
 def test_partition_backends_agree(rng, accel):
     top = Topology.build(shapes.concert_hall())
