@@ -57,12 +57,14 @@ def main():
     # ---- 1. full shoot fwd + stats
     from hare_tpu.accel.voxel import shoot_grid
 
-    hits, iters, rounds = shoot_grid(
+    hits, iters, rounds, nrows = shoot_grid(
         sp.scene, rays, grid, with_stats=True
     )
     it = np.asarray(iters)
+    nr = np.asarray(nrows)
     print(
         f"phase-1 iters: mean {it.mean():.1f} max {it.max()} "
+        f"rows/ray mean {nr.mean():.2f} max {nr.max()} "
         f"rounds {np.asarray(rounds)} max_cell_wins {grid.max_cell_wins}"
     )
     dt = timeit(lambda: shoot_grid(sp.scene, rays, grid).t)

@@ -48,6 +48,7 @@ class SpatialPartition:
         kernel: str = "watertight",
         cap: Optional[int] = None,
         march: Optional[int] = None,
+        soft: Optional[int] = None,
         **params,
     ):
         if isinstance(model, Topology):
@@ -62,6 +63,8 @@ class SpatialPartition:
         self._shoot_kw = {"kernel": kernel}
         if accel == "grid" and cap is not None:
             self._shoot_kw["cap"] = cap
+        if accel == "grid" and soft is not None:
+            self._shoot_kw["soft"] = soft
         if accel in ("octree", "kdtree") and march is not None:
             self._shoot_kw["march"] = march
 

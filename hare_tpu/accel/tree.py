@@ -66,7 +66,9 @@ from ..geom.primitives import HitRecord, Ray
 from ..mesh.scene import Scene
 from .common import finalize_hits, pack_windows, test_windows
 
-__all__ = ["TreeTables", "build_tree_tables", "shoot_tree"]
+__all__ = [
+    "TreeTables", "build_tree_tables", "collapse_levels", "shoot_tree",
+]
 
 # Child-row component blocks: minx,miny,minz,maxx,maxy,maxz,id,ws,nw
 N_COMP = 9
@@ -93,6 +95,58 @@ class TreeTables:
     @property
     def n_nodes(self) -> int:
         return self.node_rows.shape[0] - 1
+
+
+def collapse_levels(
+    child_ids: np.ndarray, root: int, levels: int
+) -> np.ndarray:
+    """Collapse ``levels`` tree levels into one supernode layer (host side).
+
+    A K-ary tree becomes a K^levels-ary tree whose supernode children are
+    the depth-``levels`` frontier under each kept node (stopping early at
+    leaves).  Rationale (r4, TPU): traversal cost is per POP step — every
+    pop pays the (N, S) stack selects and the loop-step overhead for all N
+    lockstep lanes — so a binary KD-tree (reference ``KDTree.cs``, split
+    axis depth%3) pops ~3x fewer nodes when walked 3 levels at a time, and
+    its child rows become as lane-dense as the octree's.  The reference has
+    no counterpart (its per-ray CPU stack pops are nearly free); this is a
+    layout transform, not a semantic change — boxes, leaf membership, and
+    results are identical.
+
+    Args:
+      child_ids: (n, K) i64, -1 = missing; leaves have all -1.
+      root: the tree root; only rows reachable from it are rewritten (the
+        absorbed interior rows are simply never referenced again).
+    Returns: new_child_ids (n, K^levels).
+    """
+    from collections import deque
+
+    n, K = child_ids.shape
+    KK = K ** levels
+    is_leaf = (child_ids < 0).all(axis=1)
+    new_children = np.full((n, KK), -1, np.int64)
+    seen = np.zeros(n, bool)
+    q = deque()
+    if n and not is_leaf[root]:
+        q.append(int(root))
+        seen[root] = True
+    while q:
+        u = q.popleft()
+        frontier = [u]
+        for _ in range(levels):
+            nxt = []
+            for v in frontier:
+                if is_leaf[v]:
+                    nxt.append(v)
+                else:
+                    nxt.extend(int(c) for c in child_ids[v] if c >= 0)
+            frontier = nxt
+        new_children[u, : len(frontier)] = frontier
+        for v in frontier:
+            if not is_leaf[v] and not seen[v]:
+                seen[v] = True
+                q.append(v)
+    return new_children
 
 
 def build_tree_tables(

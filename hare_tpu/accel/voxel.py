@@ -288,7 +288,8 @@ def build_voxel_grid(
 
 
 @partial(
-    jax.jit, static_argnames=("kernel", "top_index", "with_stats", "cap")
+    jax.jit,
+    static_argnames=("kernel", "top_index", "with_stats", "cap", "soft"),
 )
 def shoot_grid(
     scene: Scene,
@@ -299,6 +300,7 @@ def shoot_grid(
     top_index: Optional[int] = None,
     with_stats: bool = False,
     cap: int = 16,
+    soft: Optional[int] = None,
 ):
     """Nearest-hit query: collect-then-test 3-D DDA with empty-space skip.
 
@@ -334,6 +336,14 @@ def shoot_grid(
     # Buffer must hold at least the fattest single cell, else it can never
     # make progress through that cell.
     C = max(int(cap), grid.max_cell_wins, 1)
+    # Soft test threshold: rays pause for a test pass once >= ``soft``
+    # window rows are buffered (an EMPTY buffer still accepts any single
+    # cell up to C, so progress is guaranteed).  Measured r4: per-ray row
+    # counts are tiny (mean 1.9) but the slab test pays for every slot of
+    # every ray, so testing early at a low ``soft`` and resuming the few
+    # unresolved rays through the COMPACTED straggler rounds beats hauling
+    # a deep buffer for all N rays.  None = C (no early pause).
+    soft_eff = C if soft is None else max(1, min(int(soft), C))
     # Occupied-cell runs collected per round (phase-1 keeps only (start,
     # width) pairs; the (N, C) window-row buffer is expanded ONCE per round).
     K = max(C // 2, 1)
@@ -418,7 +428,6 @@ def shoot_grid(
     izero_v = vzero.astype(jnp.int32)
     izero = jnp.sum(izero_v)
     lanes = jnp.arange(C, dtype=jnp.int32)[None, :]  # (1, C)
-    lanes_k = jnp.arange(K, dtype=jnp.int32)[None, :]  # (1, K)
 
     # ======== phase 1: meta-only DDA march collecting candidate windows ====
     # The body is kept to a handful of (N,)-wide fusions and exactly ONE
@@ -470,13 +479,21 @@ def shoot_grid(
             dist = meta[:, 1] & 0xFF
 
             # Append this occupied cell's window RUN to the per-ray list —
-            # (start, width) packed into one i32 so the append is a single
-            # (n, K) select (ws < 2^23 is checked at build time).
+            # (start, width) packed into one i32 (ws < 2^23 checked at build
+            # time).  ``runs`` is K separate (n,) arrays, NOT an (n, K)
+            # array: a minor dim of K << 128 pads to 128 lanes, so every
+            # (n, K) op wastes 128/K of the VPU (measured r4 — the same
+            # layout lesson as the r3 (N,3)->SoA conversion).
             need = w > 0
-            fits = (cnt_w + w <= C) & (cnt_c < K)
+            fits = ((cnt_w + w <= soft_eff) | ((cnt_w == 0) & (w <= C))) & (
+                cnt_c < K
+            )
             take = collecting & need & fits
-            tk = take[:, None] & (lanes_k == cnt_c[:, None])
-            runs = jnp.where(tk, ((ws << 8) | w)[:, None], runs)
+            packed = (ws << 8) | w
+            runs = tuple(
+                jnp.where(take & (cnt_c == k), packed, runs[k])
+                for k in range(K)
+            )
             cnt_c = cnt_c + take.astype(jnp.int32)
             cnt_w = cnt_w + jnp.where(take, w, 0)
 
@@ -529,7 +546,7 @@ def shoot_grid(
 
         init = (
             cell, t_max, t_enter, active,
-            izv[:, None] + jnp.zeros((1, K), jnp.int32),  # runs (ws<<8 | w)
+            tuple(izv for _ in range(K)),  # runs (ws<<8 | w), K x (n,)
             izv,  # cnt_c (occupied cells collected)
             izv,  # cnt_w (window rows collected)
             izv,  # iters
@@ -549,8 +566,8 @@ def shoot_grid(
         buf = jnp.full((n, C), null_row, jnp.int32) + izv[:, None]
         off = izv
         for k in range(K):
-            wk = runs[:, k] & 0xFF
-            wsk = jax.lax.shift_right_logical(runs[:, k], 8)
+            wk = runs[k] & 0xFF
+            wsk = jax.lax.shift_right_logical(runs[k], 8)
             sel = (lanes >= off[:, None]) & (lanes < (off + wk)[:, None])
             buf = jnp.where(sel, wsk[:, None] + (lanes - off[:, None]), buf)
             off = off + wk
@@ -564,7 +581,10 @@ def shoot_grid(
             min_t, top_index, kernel=kernel,
         )
 
-    TIER = max(1, C // 2)  # always-tested low slots; rest under a cond
+    # Always-tested low slots; the rest go under a lax.cond that fires only
+    # when some ray actually used them (a single fat cell in an empty
+    # buffer).  With a soft threshold the common case stays <= soft rows.
+    TIER = min(max(1, C // 2 if soft is None else soft_eff), C)
     NS = min(N, max(2048, -(-N // 8)))  # compacted straggler width
 
     def run_round(ctx, cell, t_max, t_enter, active, best_t, best_tri,
@@ -573,6 +593,7 @@ def shoot_grid(
         cell, t_max, t_enter, buf, paused, t_cap, it1 = collect(
             ctx, cell, t_max, t_enter, active, best_t, steps_cap, min_active
         )
+        nrows = jnp.sum((buf != null_row).astype(jnp.int32), axis=1)
         best_t, best_tri = test(ctx, buf[:, :TIER], active, best_t, best_tri)
         if C > TIER:
             # Skip the high-slot gather entirely when no ray used them.
@@ -585,7 +606,7 @@ def shoot_grid(
             )
         # Resolved: full path covered, or a hit before the coverage limit.
         resolved = ~paused | (best_t <= t_cap)
-        return cell, t_max, t_enter, resolved, best_t, best_tri, it1
+        return cell, t_max, t_enter, resolved, best_t, best_tri, it1, nrows
 
     # ======== round 1: full width ==========================================
     # The bulk of rays (coherent, short paths) resolve here in one pass; the
@@ -596,7 +617,7 @@ def shoot_grid(
     done = jnp.logical_not(valid_ray)
     best_t = jnp.full((N,), jnp.inf, dtype) + vzero
     best_tri = jnp.full((N,), -1, jnp.int32) + izero_v
-    cell, t_max, t_enter, resolved, best_t, best_tri, iters = run_round(
+    cell, t_max, t_enter, resolved, best_t, best_tri, iters, nrows = run_round(
         rctx, cell, t_max, t_enter, ~done, best_t, best_tri,
         p1_steps_max, NS if NS < N else 0,
     )
@@ -618,7 +639,8 @@ def shoot_grid(
         return jnp.logical_not(jnp.all(c[3])) & (c[6] < max_small_rounds)
 
     def s_body(c):
-        cell, t_max, t_enter, done, best_t, best_tri, rounds, iters = c
+        (cell, t_max, t_enter, done, best_t, best_tri, rounds, iters,
+         nrows) = c
         active = ~done
         pos = jnp.cumsum(active.astype(jnp.int32)) - 1
         sel = active & (pos < NS)
@@ -631,7 +653,7 @@ def shoot_grid(
         ctx_s = jax.tree.map(gath, rctx)
         cell_s = tuple(gath(x) for x in cell)
         tmax_s = tuple(gath(x) for x in t_max)
-        cell_s, tmax_s, te_s, res_s, bt_s, btr_s, it_s = run_round(
+        cell_s, tmax_s, te_s, res_s, bt_s, btr_s, it_s, nr_s = run_round(
             ctx_s, cell_s, tmax_s, gath(t_enter), msk,
             gath(best_t), gath(best_tri), p1_steps_max,
         )
@@ -646,15 +668,19 @@ def shoot_grid(
             put(best_tri, btr_s),
             rounds + 1,
             iters.at[wi].add(it_s, mode="drop"),
+            nrows.at[wi].add(jnp.where(msk, nr_s, 0), mode="drop"),
         )
 
     out = jax.lax.while_loop(
         s_cond,
         s_body,
-        (cell, t_max, t_enter, done, best_t, best_tri, izero + 1, iters),
+        (cell, t_max, t_enter, done, best_t, best_tri, izero + 1, iters,
+         nrows),
     )
-    best_t, best_tri, rounds, iters = out[4], out[5], out[6], out[7]
+    best_t, best_tri, rounds, iters, nrows = (
+        out[4], out[5], out[6], out[7], out[8]
+    )
     hits = finalize_hits(scene, rays, best_t, best_tri, kernel)
     if with_stats:
-        return hits, iters, rounds
+        return hits, iters, rounds, nrows
     return hits

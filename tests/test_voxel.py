@@ -195,3 +195,24 @@ def test_chunked_test_windows_non_divisible(monkeypatch, rng):
     n = 131  # 131 rays / chunk 64 -> 3 chunks of 44, one lane padded
     o = rng.uniform((0.2, 0.2, 0.2), (3.8, 4.8, 2.8), (n, 3))
     agree(sc, grid, o, rand_dirs(rng, n))
+
+
+def test_grid_soft_threshold_agreement(rng):
+    """soft early-test pauses must stay exact: every soft value agrees with
+    brute force (unresolved rays resume through the straggler rounds)."""
+    top = Topology.build(shapes.random_soup(300, seed=11))
+    sc = top.scene()
+    grid = build_voxel_grid(top, domain=None, avg_polys=8.0)
+    o = rng.uniform(-1, 11, (300, 3))
+    d = rand_dirs(rng, 300)
+    rays = Ray.make(jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32))
+    hb = jax.tree.map(np.asarray, shoot_brute(sc, rays))
+    for soft in (1, 2, 3):
+        hg = jax.tree.map(
+            np.asarray, shoot_grid(sc, rays, grid, soft=soft)
+        )
+        np.testing.assert_array_equal(hb.hit, hg.hit, err_msg=f"soft={soft}")
+        h = hb.hit
+        np.testing.assert_allclose(
+            hb.t[h], hg.t[h], rtol=1e-5, atol=1e-6, err_msg=f"soft={soft}"
+        )
