@@ -91,12 +91,28 @@ def main():
         )
         bounce_rays.append(Ray(origin, direction, exclude.astype(jnp.int32)))
 
-    # ---- per-bounce raw shoots
+    # ---- per-bounce raw shoots (+ knob variants on incoherent batches)
     tot = 0.0
     for b, rb in enumerate(bounce_rays):
+        _, it, rnd, nr = shoot_grid(
+            sp.scene, rb, sp.struct, with_stats=True
+        )
+        it, nr = np.asarray(it), np.asarray(nr)
         dt = timeit(lambda rb=rb: shoot_grid(sp.scene, rb, sp.struct).t)
         tot += dt
-        print(f"raw shoot bounce {b}: {dt*1e3:.2f} ms")
+        print(
+            f"raw shoot bounce {b}: {dt*1e3:.2f} ms  iters mean "
+            f"{it.mean():.1f} max {it.max()}  rows mean {nr.mean():.2f} "
+            f"max {nr.max()}  rounds {np.asarray(rnd)}"
+        )
+        if b > 0:
+            for kw in ({"soft": 2}, {"soft": 3}, {"cap": 16}):
+                dtv = timeit(
+                    lambda rb=rb, kw=kw: shoot_grid(
+                        sp.scene, rb, sp.struct, **kw
+                    ).t
+                )
+                print(f"  bounce {b} variant {kw}: {dtv*1e3:.2f} ms")
     print(f"sum of raw shoots: {tot*1e3:.2f} ms")
 
     # ---- full fwd trace step

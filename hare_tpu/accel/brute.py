@@ -35,11 +35,19 @@ _KERNELS = {
 }
 
 
-def _finalize(rays: Ray, best_t, best_u, best_v, best_tri, tri_poly) -> HitRecord:
+def _finalize(
+    rays: Ray, best_t, best_u, best_v, best_tri, scene: Scene
+) -> HitRecord:
     hit = jnp.isfinite(best_t)
     t = jnp.where(hit, best_t, jnp.inf)
     point = rays.at(jnp.where(hit, best_t, 0.0))
-    poly = jnp.where(hit, tri_poly[jnp.maximum(best_tri, 0)], NO_POLY)
+    tri = jnp.maximum(best_tri, 0)
+    poly = jnp.where(hit, scene.tri_poly[tri], NO_POLY)
+    # Live differentiable normal of the winner (brute differentiates end to
+    # end; the accel backends supply this via finalize_hits' custom_vjp).
+    iv = scene.tri_v[tri]
+    v = scene.vertices
+    normal = jnp.cross(v[iv[:, 1]] - v[iv[:, 0]], v[iv[:, 2]] - v[iv[:, 0]])
     return HitRecord(
         hit=hit,
         t=t,
@@ -48,6 +56,7 @@ def _finalize(rays: Ray, best_t, best_u, best_v, best_tri, tri_poly) -> HitRecor
         point=jnp.where(hit[..., None], point, 0.0),
         poly_id=poly.astype(jnp.int32),
         tri_id=jnp.where(hit, best_tri, NO_POLY).astype(jnp.int32),
+        normal=normal,
     )
 
 
@@ -129,4 +138,4 @@ def shoot_brute(
         (best_t, best_u, best_v, best_tri), _ = jax.lax.scan(
             body, init, jnp.arange(n_tiles)
         )
-    return _finalize(rays, best_t, best_u, best_v, best_tri, scene.tri_poly)
+    return _finalize(rays, best_t, best_u, best_v, best_tri, scene)

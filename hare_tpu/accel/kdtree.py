@@ -49,15 +49,20 @@ def build_kdtree(
     max_depth: int = 16,
     max_tris_per_node: int = 12,
     pad: float = 1e-3,
-    levels: int = 3,
+    levels: int = 1,
 ) -> KDTree:
-    """Build the KD-tree; the BINARY reference semantics (median-centroid
-    splits, straddler duplication) are preserved exactly, but the device
-    tables collapse ``levels`` binary levels into one supernode layer
-    (``collapse_levels``): the TPU traversal pays per lockstep POP, so
-    walking 3 levels per pop cuts the pop count ~3x and makes the child
-    rows as lane-dense as the octree's (r4; the reference's per-ray CPU
-    stack, ``KDTree.cs:204-361``, has no such cost and no counterpart)."""
+    """Build the KD-tree with the reference's BINARY semantics
+    (median-centroid splits, straddler duplication, ``KDTree.cs:90-139``).
+
+    ``levels > 1`` collapses that many binary levels into one supernode
+    layer (``collapse_levels``) so each lockstep pop walks several levels.
+    Measured r4 (bench scene, 32k rays): pops DO drop (43 -> 21 -> 15 mean
+    at levels 1/2/3) but unlike a true octree the collapsed children are a
+    BSP arrangement with per-subtree plane offsets, so a ray legally
+    crosses >4 of 8 supernode cells and the traversal's rare-overflow push
+    arm becomes the common case — levels 2/3 measured 1.2x/2.9x SLOWER
+    end-to-end than binary.  Default stays 1; the knob remains for
+    non-adversarial shapes."""
     tri, tri_poly, tri_top = _extract(source)
     lo = tri.min(axis=1)  # (T, 3) per-tri AABB
     hi = tri.max(axis=1)

@@ -293,9 +293,17 @@ def shoot_tree(
     vzero = jnp.sum(o, axis=-1) * 0.0
     izero_v = vzero.astype(jnp.int32)
     izero = jnp.sum(izero_v)
-    lanesC = jnp.arange(C, dtype=jnp.int32)[None, :]
+
+    # Stack/buffer layout is K-dependent (measured r4, bench scene):
+    # for wide nodes (octree K=8) the hot-loop state is S (and C) separate
+    # (n,) arrays — an (n, S) array with S << 128 pads to full lane tiles
+    # and wastes ~128/S of the VPU on every select (benchmarks/
+    # r4_lane_micro.py: 1.4-8x).  For BINARY trees the op-count of the
+    # per-slot select chains outweighs the padding win (K=2 measured 20%
+    # slower in SoA form), so K < 4 keeps the dense (n, S) one-hot form.
+    SOA = K >= 4
     lanesS = jnp.arange(S, dtype=jnp.int32)[None, :]
-    lanesK = jnp.arange(K, dtype=jnp.int32)[None, :]
+    lanesC = jnp.arange(C, dtype=jnp.int32)[None, :]
 
     # Per-ray context rows; bundled so straggler rounds can gather a
     # compacted copy (mirrors voxel.py).
@@ -328,9 +336,14 @@ def shoot_tree(
 
         def step(s):
             stack, sp, running, buf, cnt, iters, steps = s
-            # ---- pop via one-hot select (no dynamic gathers on (n, S)).
-            top_oh = lanesS == (sp - 1)[:, None]
-            ent = jnp.sum(jnp.where(top_oh, stack, 0), axis=1)
+            # ---- pop (layout-dependent, see SOA above).
+            if SOA:
+                ent = izv
+                for s_i in range(S):
+                    ent = jnp.where(sp - 1 == s_i, stack[s_i], ent)
+            else:
+                top_oh = lanesS == (sp - 1)[:, None]
+                ent = jnp.sum(jnp.where(top_oh, stack, 0), axis=1)
             nid = jax.lax.shift_right_logical(ent, 8)
             q_node = ent & 0xFF
             # Pop-time prune: a node entered beyond the best hit is
@@ -367,17 +380,25 @@ def shoot_tree(
             # Pruned pops consume no buffer; they always "expand" (to pop).
             expand = running & (fits | pruned)
 
-            # ---- append leaf-children window ranges (K sequential selects).
+            # ---- append leaf-children window ranges (layout-dependent).
             off = cnt
             for k in range(K):
                 take = expand & leaf_hit[:, k]
                 w_k = nw[:, k]
-                sel = take[:, None] & (lanesC >= off[:, None]) & (
-                    lanesC < (off + w_k)[:, None]
-                )
-                buf = jnp.where(
-                    sel, ws[:, k : k + 1] + (lanesC - off[:, None]), buf
-                )
+                if SOA:
+                    base = ws[:, k] - off
+                    for c in range(C):
+                        sel = take & (off <= c) & (c < off + w_k)
+                        buf = buf[:c] + (
+                            jnp.where(sel, base + c, buf[c]),
+                        ) + buf[c + 1:]
+                else:
+                    sel = take[:, None] & (lanesC >= off[:, None]) & (
+                        lanesC < (off + w_k)[:, None]
+                    )
+                    buf = jnp.where(
+                        sel, ws[:, k : k + 1] + (lanesC - off[:, None]), buf
+                    )
                 off = off + jnp.where(take, w_k, 0)
             cnt = jnp.where(expand, off, cnt)
 
@@ -408,12 +429,23 @@ def shoot_tree(
             # the (n, S) stack selects are the dominant VPU cost of the
             # whole traversal, so halving the always-on count matters.
             P = min(K, 4)
+
+            def push_one(stack, sp, ent_s, do):
+                if SOA:
+                    stack = tuple(
+                        jnp.where(do & (sp == s_i), ent_s, stack[s_i])
+                        for s_i in range(S)
+                    )
+                else:
+                    slot = do[:, None] & (lanesS == sp[:, None])
+                    stack = jnp.where(slot, ent_s[:, None], stack)
+                return stack, sp + do.astype(jnp.int32)
+
             if K <= P:
                 for k in range(K):
-                    do = expand & push_p[:, k]
-                    slot = do[:, None] & (lanesS == sp[:, None])
-                    stack = jnp.where(slot, entk[:, k : k + 1], stack)
-                    sp = sp + do.astype(jnp.int32)
+                    stack, sp = push_one(
+                        stack, sp, entk[:, k], expand & push_p[:, k]
+                    )
             else:
                 pos = jnp.cumsum(push_p.astype(jnp.int32), axis=1) - 1
 
@@ -422,9 +454,7 @@ def shoot_tree(
                         oh = push_p & (pos == s)
                         ent_s = jnp.sum(jnp.where(oh, entk, 0), axis=1)
                         do = expand & jnp.any(oh, axis=1)
-                        slot = do[:, None] & (lanesS == sp[:, None])
-                        stack = jnp.where(slot, ent_s[:, None], stack)
-                        sp = sp + do.astype(jnp.int32)
+                        stack, sp = push_one(stack, sp, ent_s, do)
                     return stack, sp
 
                 stack, sp = push_slots(stack, sp, 0, P)
@@ -440,9 +470,14 @@ def shoot_tree(
             iters = iters + running.astype(jnp.int32)
             return (stack, sp, running, buf, cnt, iters, steps + 1)
 
+        buf0 = (
+            tuple(izv + null_row for _ in range(C))
+            if SOA
+            else jnp.full((n, C), null_row, jnp.int32) + izv[:, None]
+        )
         init = (
             stack, sp, active & (sp > 0),
-            jnp.full((n, C), null_row, jnp.int32) + izv[:, None],
+            buf0,
             izv,  # cnt (buffer fill)
             izv,  # iters
             jnp.sum(izv),  # steps (scalar)
@@ -450,7 +485,7 @@ def shoot_tree(
         stack, sp, running, buf, cnt, iters, _ = jax.lax.while_loop(
             cond, body, init
         )
-        return stack, sp, buf, iters
+        return stack, sp, jnp.stack(buf, axis=1) if SOA else buf, iters
 
     def test(ctx, buf, active, best_t, best_tri):
         o_, d_, ex_ = ctx[0], ctx[1], ctx[3]
@@ -459,17 +494,37 @@ def shoot_tree(
             min_t, top_index, kernel=kernel,
         )
 
+    # Always-tested low buffer slots; the rest go under a lax.cond that
+    # fires only when some ray actually filled them (the grid's TIER
+    # pattern, voxel.py — previously trees tested ALL C slots every round,
+    # paying full gather+test price for null slots whenever one fat node
+    # expansion forced C = max_node_need large).
+    TIER = min(max(1, int(cap) // 2), C)
+
     def run_round(ctx, stack, sp, active, best_t, best_tri, min_active=0):
         stack, sp, buf, it1 = collect(
             ctx, stack, sp, active, best_t, march, min_active
         )
-        best_t, best_tri = test(ctx, buf, active, best_t, best_tri)
+        best_t, best_tri = test(ctx, buf[:, :TIER], active, best_t, best_tri)
+        if C > TIER:
+            best_t, best_tri = jax.lax.cond(
+                jnp.any(buf[:, TIER] != null_row),
+                lambda bt, btr: test(ctx, buf[:, TIER:], active, bt, btr),
+                lambda bt, btr: (bt, btr),
+                best_t,
+                best_tri,
+            )
         return stack, sp, best_t, best_tri, it1
 
     # ======== round 1: full width =========================================
     NS = min(N, max(2048, -(-N // 8)))  # compacted straggler width
-    stack0 = jnp.full((N, S), 0, jnp.int32) + izero_v[:, None]
-    stack0 = jnp.where(lanesS == 0, pseudo_root << 8, stack0)
+    if SOA:
+        stack0 = (izero_v + (pseudo_root << 8),) + tuple(
+            izero_v for _ in range(S - 1)
+        )
+    else:
+        stack0 = jnp.full((N, S), 0, jnp.int32) + izero_v[:, None]
+        stack0 = jnp.where(lanesS == 0, pseudo_root << 8, stack0)
     sp0 = izero_v + 1
     done0 = izero_v < 0
     best_t0 = jnp.full((N,), jnp.inf, dtype) + vzero
@@ -506,13 +561,13 @@ def shoot_tree(
         gath = lambda a: a[sidx]
         ctx_s = jax.tree.map(gath, rctx)
         stack_s, sp_s, bt_s, btr_s, it_s = run_round(
-            ctx_s, gath(stack), gath(sp), msk,
+            ctx_s, jax.tree.map(gath, stack), gath(sp), msk,
             gath(best_t), gath(best_tri),
         )
         wi = jnp.where(msk, sidx, N)  # padding lanes dropped on scatter
         put = lambda full, small: full.at[wi].set(small, mode="drop")
         return (
-            put(stack, stack_s),
+            jax.tree.map(put, stack, stack_s),
             put(sp, sp_s),
             put(done, sp_s == 0),
             put(best_t, bt_s),

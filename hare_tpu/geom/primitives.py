@@ -76,6 +76,13 @@ class HitRecord(NamedTuple):
     point: jnp.ndarray  # (..., 3) float — hit location
     poly_id: jnp.ndarray  # (...) int32 — polygon id (quad = one id, two tris)
     tri_id: jnp.ndarray  # (...) int32 — concrete triangle index in the Scene
+    # Geometric (UN-normalized) normal of the hit triangle, cross(e1, e2) —
+    # an API extension over X_Event (the reference's consumers re-derive
+    # normals from Poly_id; here the hit pipeline already has the winning
+    # triangle's geometry in hand and gradients flow to vertex positions).
+    # JUNK on miss lanes (not zeroed: normalize(0) would emit NaNs into
+    # backward passes) — mask with ``hit`` before use.
+    normal: jnp.ndarray  # (..., 3) float
 
     @classmethod
     def miss(cls, batch_shape, dtype=jnp.float32) -> "HitRecord":
@@ -90,6 +97,11 @@ class HitRecord(NamedTuple):
             point=jnp.zeros(batch_shape + (3,), dtype),
             poly_id=jnp.full(batch_shape, NO_POLY, jnp.int32),
             tri_id=jnp.full(batch_shape, NO_POLY, jnp.int32),
+            normal=jnp.concatenate(
+                [jnp.ones(batch_shape + (1,), dtype)]
+                + [jnp.zeros(batch_shape + (1,), dtype)] * 2,
+                axis=-1,
+            ),
         )
 
 

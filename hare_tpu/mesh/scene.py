@@ -59,6 +59,21 @@ class Scene(NamedTuple):
     #   lanes 4-6 tri_v
     #   lane 7    tri_top
     tri_meta: jnp.ndarray  # (T, 8) i32
+    # Packed per-triangle GEOMETRY row — ONE 16-lane f32 gather serves the
+    # whole hit-finalize + bounce step (r4; replaces a tri_meta gather plus
+    # THREE narrow per-vertex gathers, measured 2.5 ms/shoot at 32k rays):
+    #   lanes 0-8   v0 | e1 | e2 (build-time vertex positions, f32)
+    #   lane  9     tri_poly              (i32 bitcast)
+    #   lanes 10-12 coplanar edge nbrs    (i32 bitcast, = tri_meta lanes 1-3)
+    #   lanes 13-15 tri_v                 (i32 bitcast)
+    # NB: the geometry lanes are BUILD-TIME constants.  Forward hit values
+    # are computed from them; gradients w.r.t. ``vertices`` are supplied by
+    # a custom_vjp that gathers live vertices in the backward pass only
+    # (accel/common._hit_vals).  The two coincide whenever ``vertices``
+    # equals the build vertices — and when they don't (``with_vertices``
+    # without a rebuild), traversal itself is stale, so the contract stays
+    # "rebuild accel (and scene) after moving vertices" (utils/checkpoint).
+    tri_geom: jnp.ndarray  # (T, 16) f32
 
     @property
     def n_tris(self) -> int:

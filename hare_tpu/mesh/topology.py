@@ -606,6 +606,20 @@ def build_scene(
     tri_meta[:, 4:7] = tri_v
     tri_meta[:, 7] = tri_top
 
+    # Packed geometry row (see Scene.tri_geom): build-time v0|e1|e2 plus the
+    # int metadata lanes bitcast to f32.  Padded rows are degenerate
+    # (tri_v = 0 -> e1 = e2 = 0).
+    vtx = (
+        vertices[tri_v].astype(np.float32)
+        if len(vertices)
+        else np.zeros((Tp, 3, 3), np.float32)
+    )  # (Tp, 3, 3); degenerate for the all-padding zero-vertex scene
+    tri_geom = np.zeros((Tp, 16), np.float32)
+    tri_geom[:, 0:3] = vtx[:, 0]
+    tri_geom[:, 3:6] = vtx[:, 1] - vtx[:, 0]
+    tri_geom[:, 6:9] = vtx[:, 2] - vtx[:, 0]
+    tri_geom[:, 9:16] = tri_meta[:, 0:7].view(np.float32)
+
     return Scene(
         vertices=jnp.asarray(vertices, dtype),
         tri_v=jnp.asarray(tri_v),
@@ -614,6 +628,7 @@ def build_scene(
         poly_plane=jnp.asarray(poly_plane),
         tri_edge_poly=jnp.asarray(tri_edge_poly),
         tri_meta=jnp.asarray(tri_meta),
+        tri_geom=jnp.asarray(tri_geom),
     )
 
 

@@ -177,19 +177,18 @@ def trace_rays(
         hr = shoot_fn(scene, r) if aux is None else shoot_fn(scene, r, aux)
         live_hit = hr.hit & s.alive
 
-        # ONE static metadata gather serves the whole step: poly id, coplanar
-        # edge neighbors, and vertex ids ride in one (N, 8) row (the same row
-        # finalize_hits gathers — XLA CSE merges the two).
+        # The hit triangle's geometric normal now rides in the HitRecord
+        # (computed by finalize_hits from the packed tri_geom row, with the
+        # live-vertex gradient path supplied by its custom_vjp) — the
+        # per-bounce tri_meta + three vertex gathers this replaces cost
+        # ~1 ms/bounce at 32k rays.  The coplanar edge-neighbor lanes come
+        # from the SAME tri_geom row finalize gathered (XLA CSE merges the
+        # two gathers).
         tri = jnp.maximum(hr.tri_id, 0)
-        meta = scene.tri_meta[tri]
-        iv = meta[:, 4:7]
-
-        # Geometric normal of the hit triangle from live vertices (grad path
-        # to vertex positions flows through here and through hr itself).
-        v = scene.vertices
-        e1 = v[iv[:, 1]] - v[iv[:, 0]]
-        e2 = v[iv[:, 2]] - v[iv[:, 0]]
-        n_hat = normalize(jnp.cross(e1, e2))
+        nbr_rows = jax.lax.bitcast_convert_type(
+            scene.tri_geom[tri][:, 10:13], jnp.int32
+        )
+        n_hat = normalize(hr.normal)
 
         pid = jnp.maximum(hr.poly_id, 0)
         a = absorption[pid]
@@ -228,9 +227,9 @@ def trace_rays(
         # neighbor is a 3-way select — no gathers.
         w_b = 1.0 - hr.u - hr.v
         b0, b1, b2 = hr.v, w_b, hr.u  # edge 0/1/2 distance
-        n01 = jnp.where(b0 <= b1, meta[:, 1], meta[:, 2])
+        n01 = jnp.where(b0 <= b1, nbr_rows[:, 0], nbr_rows[:, 1])
         d01 = jnp.minimum(b0, b1)
-        nbr = jnp.where(d01 <= b2, n01, meta[:, 3])
+        nbr = jnp.where(d01 <= b2, n01, nbr_rows[:, 2])
         on_edge = jnp.minimum(d01, b2) < EDGE_EPS
         ex2 = jnp.where(live_hit & on_edge & (nbr >= 0), nbr, NO_POLY)
         exclude = jnp.stack(

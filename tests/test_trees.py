@@ -85,14 +85,16 @@ def test_octree_build():
 
 def test_kdtree_build():
     top = Topology.build(shapes.concert_hall())
+    # default: the reference's binary shape (level collapse measured slower
+    # on TPU for KD — BSP supernode children break the <=4-crossed-cells
+    # push bound; see build_kdtree docstring)
     tr = build_kdtree(top, max_depth=14, max_tris_per_node=12)
-    # default: 3 binary levels collapsed into one 8-ary supernode layer
-    assert tr.branch == 8
+    assert tr.branch == 2
     assert set(_reachable_tris(tr)) == set(range(top.n_tris))
     assert tr.max_node_need >= 1
-    # the uncollapsed build keeps the reference's binary shape
-    tr2 = build_kdtree(top, max_depth=14, max_tris_per_node=12, levels=1)
-    assert tr2.branch == 2
+    # the collapsed variant stays available and covers the same triangles
+    tr2 = build_kdtree(top, max_depth=14, max_tris_per_node=12, levels=3)
+    assert tr2.branch == 8
     assert set(_reachable_tris(tr2)) == set(range(top.n_tris))
 
 
