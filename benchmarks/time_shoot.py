@@ -21,13 +21,13 @@ def main():
     cap = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     domain = int(sys.argv[2]) if len(sys.argv) > 2 else 48
     win = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-    soft = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    soft = (int(sys.argv[4]) or None) if len(sys.argv) > 4 else None
     faces = shapes.shoebox(20.0, 20.0, 20.0) + shapes.icosphere(
         6, radius=6.0, center=(10.0, 10.0, 10.0)
     )
     top = Topology.build(faces)
     sp = SpatialPartition(top, accel="grid", domain=domain, win=win)
-    n = 1 << 15
+    n = 1 << int(sys.argv[5]) if len(sys.argv) > 5 else 1 << 15
     d = uniform_sphere(jax.random.PRNGKey(0), n)
     o = jnp.tile(jnp.array([10.0, 10.0, 10.0], jnp.float32), (n, 1)) + 6.5 * d
     rays = Ray.make(o, d)

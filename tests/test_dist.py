@@ -14,9 +14,11 @@ from hare_tpu.trace import energy_histogram, trace_rays, uniform_sphere
 
 
 def setup(n_rays=256, accel="grid"):
-    # Parametrized over a second backend so one backend bug cannot zero out
-    # ALL multichip evidence (the r2 failure mode: a grid-only regression
-    # took down every distribution test at once).
+    # Parametrized over every non-brute backend so one backend bug cannot
+    # zero out ALL multichip evidence (the r2 failure mode: a grid-only
+    # regression took down every distribution test at once); r4 adds the
+    # KD-tree (VERDICT r3 item 5 — its varying-zero carry pattern under
+    # shard_map was the one untested backend x sharding interaction).
     top = Topology.build(shapes.shoebox(4, 5, 3))
     params = {"domain": 4} if accel == "grid" else {}
     sp = SpatialPartition(top, accel=accel, **params)
@@ -32,7 +34,7 @@ def test_eight_devices():
     assert len(jax.devices()) == 8
 
 
-@pytest.mark.parametrize("accel", ["grid", "octree"])
+@pytest.mark.parametrize("accel", ["grid", "octree", "kdtree"])
 def test_sharded_matches_single(accel):
     """Sharded histogram == single-device histogram (bitwise-determinism
     analog of the reference-absent race tests, SURVEY.md §5)."""
@@ -45,7 +47,7 @@ def test_sharded_matches_single(accel):
     np.testing.assert_allclose(h_sharded, h_single, rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("accel", ["grid", "octree"])
+@pytest.mark.parametrize("accel", ["grid", "octree", "kdtree"])
 def test_sharded_grad_matches_single(accel):
     top, sp, a, rays = setup(accel=accel)
     mesh = make_ray_mesh(8)
