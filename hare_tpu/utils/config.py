@@ -35,6 +35,13 @@ class HareConfig:
     kernel: str = "watertight"  # watertight (default everywhere) | mt
     cap: int = 16  # grid candidate-buffer slots per round (shoot_grid cap)
     march: int = 32  # tree traversal steps per round (shoot_tree march)
+    # Grid window-row width (triangles per packed row; r4: 16 is the
+    # trace-optimal default, 32 wins ~7% on coherent primary-ray batches
+    # at the cost of ~30% inside the bounce loop — see BASELINE.md).
+    win: Optional[int] = None
+    # Early-test threshold (shoot_grid soft); None = off (measured r4:
+    # counterproductive on incoherent batches, kept for primary-ray use).
+    soft: Optional[int] = None
     # Tracing
     n_rays: int = 1 << 15
     n_bounces: int = 8
@@ -67,7 +74,7 @@ class HareConfig:
                 p.add_argument(name, action="store_true", default=f.default)
             else:
                 typ = type(f.default) if f.default is not None else str
-                if f.default is None and f.name in ("domain",):
+                if f.default is None and f.name in ("domain", "win", "soft"):
                     typ = int
                 p.add_argument(name, type=typ, default=f.default)
         return p
@@ -84,12 +91,18 @@ class HareConfig:
         count), so a config round-trips into an actual traversal
         configuration."""
         if self.accel == "grid":
+            extra = {}
+            if self.win is not None:
+                extra["win"] = self.win
+            if self.soft is not None:
+                extra["soft"] = self.soft
             if self.domain is not None:
-                return {"domain": self.domain, "cap": self.cap}
+                return {"domain": self.domain, "cap": self.cap, **extra}
             return {
                 "max_doublings": self.max_doublings,
                 "avg_polys": self.avg_polys,
                 "cap": self.cap,
+                **extra,
             }
         if self.accel in ("octree", "kdtree"):
             return {
