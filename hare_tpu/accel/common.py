@@ -200,46 +200,26 @@ def _test_windows(
     N, C = buf.shape
     win = win_data.shape[1] // 12  # static: row width encodes the packing
     inf = jnp.asarray(jnp.inf, win_data.dtype)
-    # Flat 2-D gather: profiled on-chip, the (N, C, 12*win) 3-D gather made
-    # XLA materialize a transposed {0,2,1} relayout copy of the whole 400 MB
-    # result (1.2 ms/call at N=32k, C=8 — the single most expensive op in
-    # the traversal).  The (N*C, 12*win) form keeps the gather result in its
-    # natural row-major tiling; all math below is 2-D and relayout-free.
-    M = N * C
-    g = win_data[buf.reshape(M)]  # (M, 12*win)
-    cmp = [g[:, win * i : win * (i + 1)] for i in range(9)]
-    rep = lambda x: jnp.repeat(x, C, axis=0)[:, None]  # (N,) -> (M, 1)
-    d_cmp = (rep(d[:, 0]), rep(d[:, 1]), rep(d[:, 2]))
-    o_cmp = (rep(o[:, 0]), rep(o[:, 1]), rep(o[:, 2]))
-    valid, t, _, _ = kernel_components(kernel, o_cmp, d_cmp, cmp)
-
-    tid = jax.lax.bitcast_convert_type(g[:, 9 * win : 10 * win], jnp.int32)
-    tp = jax.lax.bitcast_convert_type(g[:, 10 * win : 11 * win], jnp.int32)
-    acc = (
-        rep(active)
-        & valid
-        & (t > min_t)
-        & (tid >= 0)
-        & (tp != rep(ex[:, 0]))
-        & (tp != rep(ex[:, 1]))
-    )
-    if top_index is not None:
-        ttop = jax.lax.bitcast_convert_type(
-            g[:, 11 * win : 12 * win], jnp.int32
-        )
-        acc &= ttop == top_index
-    t = jnp.where(acc, t, inf)
-    # Lane-halving (t, tid) min tree instead of axis reduces: jnp.min(axis=1)
-    # made XLA pick a column-major layout for the whole gathered operand and
-    # insert a 200 MB transpose copy (2 ms/run inside the bounce scan).  The
-    # tree is pure elementwise minimum/select on static lane slices, so it
-    # fuses into the kernel math in the gather's natural row-major layout.
-    # Ties pick the smallest triangle id — deterministic, and coinciding ids
-    # for the common duplicate-test case (same triangle seen from several
-    # cells).
+    # Per-SLOT (N, 12*win) processing (r4; replaces the flat (N*C, 12*win)
+    # form): each slot's rows gather into their natural row-major tiling
+    # exactly as before (same total rows), but the per-ray quantities —
+    # the watertight shear constants, origin components, exclusion ids —
+    # stay at (N, 1) shapes that XLA computes ONCE and CSEs across all C
+    # slots, instead of being jnp.repeat-expanded to lane-padded (N*C, 1)
+    # arrays re-evaluated per candidate row (the (M, 1) ops were ~0.5 ms
+    # of pure lane waste per call at 32k x 8).
+    d_cmp = tuple(d[:, c : c + 1] for c in range(3))
+    o_cmp = tuple(o[:, c : c + 1] for c in range(3))
+    act_c = active[:, None]
+    ex0, ex1 = ex[:, 0:1], ex[:, 1:2]
     big = jnp.int32(2**31 - 1)
 
     def tree_min(t_, i_):
+        # Lane-halving (t, tid) min tree instead of axis reduces:
+        # jnp.min(axis=1) made XLA pick a column-major layout for the whole
+        # gathered operand and insert a 200 MB transpose copy.  Ties pick
+        # the smallest triangle id — deterministic, and coinciding for the
+        # common duplicate-test case.
         w = t_.shape[1]
         if w & (w - 1):  # pad to the next power of two with +inf lanes
             p = 1 << w.bit_length()
@@ -254,10 +234,32 @@ def _test_windows(
             i_ = jnp.where(lt, ib, ia)
         return t_[:, 0], i_[:, 0]
 
-    t_row, tid_row = tree_min(t, tid)  # (M,)
-    t_nc = t_row.reshape(N, C)
-    tid_nc = tid_row.reshape(N, C)
-    t_min, tri_cand = tree_min(t_nc, tid_nc)  # (N,)
+    t_slots, tid_slots = [], []
+    for c in range(C):
+        g = win_data[buf[:, c]]  # (N, 12*win)
+        cmp = [g[:, win * i : win * (i + 1)] for i in range(9)]
+        valid, t, _, _ = kernel_components(kernel, o_cmp, d_cmp, cmp)
+        tid = jax.lax.bitcast_convert_type(g[:, 9 * win : 10 * win], jnp.int32)
+        tp = jax.lax.bitcast_convert_type(g[:, 10 * win : 11 * win], jnp.int32)
+        acc = (
+            act_c
+            & valid
+            & (t > min_t)
+            & (tid >= 0)
+            & (tp != ex0)
+            & (tp != ex1)
+        )
+        if top_index is not None:
+            ttop = jax.lax.bitcast_convert_type(
+                g[:, 11 * win : 12 * win], jnp.int32
+            )
+            acc &= ttop == top_index
+        t_c, tid_c = tree_min(jnp.where(acc, t, inf), tid)  # (N,)
+        t_slots.append(t_c)
+        tid_slots.append(tid_c)
+    t_min, tri_cand = tree_min(
+        jnp.stack(t_slots, axis=1), jnp.stack(tid_slots, axis=1)
+    )
     better = t_min < best_t
     return (
         jnp.where(better, t_min, best_t),
