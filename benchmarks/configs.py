@@ -86,6 +86,9 @@ def main(which: str):
     if which == "1":
         top = Topology.build(shapes.shoebox(4, 5, 3))
         sp = SpatialPartition(top, accel="brute")
+        # NB: property access creates a fresh closure; hoist ONCE so the
+        # jitted trace is not retraced (recompiled!) per timing iteration.
+        shoot_fn = sp.shoot_fn
         n, B = 10_000, 3
         d = uniform_sphere(jax.random.PRNGKey(0), n)
         o = jnp.tile(jnp.array([2.0, 2.5, 1.5], jnp.float32), (n, 1))
@@ -93,7 +96,7 @@ def main(which: str):
         a = jnp.full(top.n_polys, 0.3, jnp.float32)
 
         def run():
-            res = trace_rays(sp.scene, rays, a, B, sp.shoot_fn)
+            res = trace_rays(sp.scene, rays, a, B, shoot_fn)
             return energy_histogram(res, 256, 1e-3)
 
         dt = timeit(run)
@@ -104,6 +107,9 @@ def main(which: str):
         accel = "grid" if which == "2" else "octree"
         top = Topology.build(shapes.concert_hall())
         sp = SpatialPartition(top, accel=accel)
+        # NB: property access creates a fresh closure; hoist ONCE so the
+        # jitted trace is not retraced (recompiled!) per timing iteration.
+        shoot_fn = sp.shoot_fn
         n = 100_000 if which == "2" else 1_000_000
         B = 3
         d = uniform_sphere(jax.random.PRNGKey(0), n)
@@ -113,7 +119,7 @@ def main(which: str):
 
         if which == "2":
             def run():
-                res = trace_rays(sp.scene, rays, a, B, sp.shoot_fn, aux=sp.aux)
+                res = trace_rays(sp.scene, rays, a, B, shoot_fn, aux=sp.aux)
                 return energy_histogram(res, 1024, 1e-3)
             dt = timeit(run)
             emit(2, "Mrays/s fwd", n * B / dt / 1e6, "Mrays/s",
@@ -121,7 +127,7 @@ def main(which: str):
                   "bounces": B, "device": dev})
         else:
             def loss(a_, rays_, aux):
-                res = trace_rays(sp.scene, rays_, a_, B, sp.shoot_fn, aux=aux)
+                res = trace_rays(sp.scene, rays_, a_, B, shoot_fn, aux=aux)
                 return jnp.sum(energy_histogram(res, 1024, 1e-3))
             vg = jax.jit(jax.value_and_grad(loss))
             dt = timeit(lambda: vg(a, rays, sp.aux)[1])
@@ -136,6 +142,9 @@ def main(which: str):
         t0 = time.time()
         sp = SpatialPartition(top, accel="kdtree", max_depth=20,
                               max_tris_per_node=16)
+        # NB: property access creates a fresh closure; hoist ONCE so the
+        # jitted trace is not retraced (recompiled!) per timing iteration.
+        shoot_fn = sp.shoot_fn
         t_accel = time.time() - t0
         n, B = 1 << 15, 2
         d = uniform_sphere(jax.random.PRNGKey(0), n)
@@ -145,7 +154,7 @@ def main(which: str):
 
         def loss(verts, rays_, aux):
             sc = sp.scene.with_vertices(verts)
-            res = trace_rays(sc, rays_, a, B, sp.shoot_fn, aux=aux)
+            res = trace_rays(sc, rays_, a, B, shoot_fn, aux=aux)
             return jnp.sum(energy_histogram(res, 512, 1e-3))
 
         vg = jax.jit(jax.value_and_grad(loss))
@@ -169,6 +178,9 @@ def main(which: str):
         t_topo = time.time() - t0
         t0 = time.time()
         sp = SpatialPartition(top, accel="grid", domain=256)
+        # NB: property access creates a fresh closure; hoist ONCE so the
+        # jitted trace is not retraced (recompiled!) per timing iteration.
+        shoot_fn = sp.shoot_fn
         t_accel = time.time() - t0
         n, B = 1 << 20, 2  # 1M rays x 2 bounces = 2M ray queries per pass
         d = uniform_sphere(jax.random.PRNGKey(0), n)
@@ -177,7 +189,7 @@ def main(which: str):
         a = jnp.full(top.n_polys, 0.3, jnp.float32)
 
         def run():
-            res = trace_rays(sp.scene, rays, a, B, sp.shoot_fn, aux=sp.aux)
+            res = trace_rays(sp.scene, rays, a, B, shoot_fn, aux=sp.aux)
             return energy_histogram(res, 1024, 1e-3)
 
         dt = timeit(run, iters=3)
@@ -199,6 +211,9 @@ def main(which: str):
     elif which == "deep":
         top = Topology.build(shapes.concert_hall())
         sp = SpatialPartition(top, accel="grid")
+        # NB: property access creates a fresh closure; hoist ONCE so the
+        # jitted trace is not retraced (recompiled!) per timing iteration.
+        shoot_fn = sp.shoot_fn
         n, B = 1 << 14, 32
         d = uniform_sphere(jax.random.PRNGKey(0), n)
         o = jnp.tile(jnp.array([15.0, 24.0, 8.0], jnp.float32), (n, 1))
@@ -207,7 +222,7 @@ def main(which: str):
 
         for remat in (False, True):
             def loss(a_, rays_, aux):
-                res = trace_rays(sp.scene, rays_, a_, B, sp.shoot_fn,
+                res = trace_rays(sp.scene, rays_, a_, B, shoot_fn,
                                  aux=aux, remat=remat)
                 return jnp.sum(energy_histogram(res, 2048, 1e-3))
             vg = jax.jit(jax.value_and_grad(loss))

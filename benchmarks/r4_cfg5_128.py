@@ -15,8 +15,9 @@ d = uniform_sphere(jax.random.PRNGKey(0), n)
 o = jnp.tile(jnp.array([20.0, 20.0, 20.0], jnp.float32), (n, 1))
 rays = Ray.make(o, d)
 a = jnp.full(top.n_polys, 0.3, jnp.float32)
+shoot_fn = sp.shoot_fn  # hoist: property returns a fresh closure (recompile per call otherwise)
 def run():
-    res = trace_rays(sp.scene, rays, a, B, sp.shoot_fn, aux=sp.aux)
+    res = trace_rays(sp.scene, rays, a, B, shoot_fn, aux=sp.aux)
     return energy_histogram(res, 1024, 1e-3)
 dt = timeit(run, iters=3)
 g = sp.struct
