@@ -113,16 +113,28 @@ class SpatialPartition:
         it the constructor-bound structure is closed over (fine for tiny
         scenes, but see trace_rays docs — big closed-over structures become
         jit constants and destroy compile/step time).
+
+        MEMOIZED: repeated accesses return the SAME callable.  A fresh
+        closure per access is a jit footgun — as a static argument it makes
+        every call retrace and recompile the whole program (r4: the eval
+        configs were accidentally measuring compile time this way; config 1
+        went 0.009 -> 3.85 Mrays/s once hoisted).
         """
+        fn = getattr(self, "_shoot_fn_cache", None)
+        if fn is not None:
+            return fn
         if self.accel_name == "brute":
-            return lambda scene, rays, aux=None: self._shoot(scene, rays)
-        raw = {
-            "grid": shoot_grid,
-            "octree": shoot_octree,
-            "kdtree": shoot_kdtree,
-        }[self.accel_name]
-        kw = dict(self._shoot_kw)
-        struct = self.struct
-        return lambda scene, rays, aux=None: raw(
-            scene, rays, aux if aux is not None else struct, **kw
-        )
+            fn = lambda scene, rays, aux=None: self._shoot(scene, rays)
+        else:
+            raw = {
+                "grid": shoot_grid,
+                "octree": shoot_octree,
+                "kdtree": shoot_kdtree,
+            }[self.accel_name]
+            kw = dict(self._shoot_kw)
+            struct = self.struct
+            fn = lambda scene, rays, aux=None: raw(
+                scene, rays, aux if aux is not None else struct, **kw
+            )
+        self._shoot_fn_cache = fn
+        return fn

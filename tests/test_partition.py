@@ -38,3 +38,13 @@ def test_partition_trace_integration(rng):
     res = trace_rays(sp.scene, Ray.make(o, d), a, 3, sp.shoot_fn)
     assert np.asarray(res.hit).all()
     np.testing.assert_allclose(np.asarray(res.energy[-1]), 0.75**3, rtol=1e-5)
+
+
+def test_shoot_fn_memoized():
+    """shoot_fn must return the SAME callable on repeated access — a fresh
+    closure per access is a static-arg jit footgun that recompiles every
+    call (r4: the eval-config harness measured compile time this way)."""
+    top = Topology.build(shapes.shoebox(4, 5, 3))
+    for accel in ("brute", "grid"):
+        sp = SpatialPartition(top, accel=accel, **({"domain": 4} if accel == "grid" else {}))
+        assert sp.shoot_fn is sp.shoot_fn
