@@ -15,7 +15,11 @@ Run:  python examples/fit_absorption.py --n-rays 8192 --steps 60
 
 from __future__ import annotations
 
+import os
 import sys
+
+# Runnable straight from a source checkout (mirrors benchmarks/).
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
 import jax
