@@ -628,57 +628,74 @@ def shoot_grid(
     # buffer-overflow rays would keep every one of the N lanes marching
     # (measured: incoherent bounce-2/3 batches ran 2-3 full-width rounds at
     # 2-3x the round-1 cost).  Instead, unresolved rays are compacted
-    # (cumsum + scatter) into an NS-wide state and marched there, so each
-    # extra round costs NS/N of a full one.  More than NS stragglers simply
+    # (cumsum + scatter) into a narrower state and marched there, so each
+    # extra round costs a fraction of a full one.  More than fit simply
     # take extra trips through the loop (the partition is stable).
+    #
+    # TWO width tiers (r4): at config-5 scale a grazing-ray tail (rows up
+    # to 161 vs the C=16 buffer) needed ~11 resume rounds, and every one
+    # ran at the full NS = N/8 compacted width even when only a few
+    # thousand rays remained — the tail was >80 % of the shoot.  Tier 1
+    # runs while more than NS2 rays are active; the long tail then drops
+    # to the 4x narrower tier 2.
     ray_ids = jnp.arange(N, dtype=jnp.int32) + izero_v
-    ns_lanes = jnp.arange(NS, dtype=jnp.int32) + izero_v[:NS]
-    max_small_rounds = max_rounds * max(1, N // NS)
 
-    def s_cond(c):
-        return jnp.logical_not(jnp.all(c[3])) & (c[6] < max_small_rounds)
+    def straggler_loop(state, ns, stop_below):
+        ns_lanes = jnp.arange(ns, dtype=jnp.int32) + izero_v[:ns]
+        max_small_rounds = max_rounds * max(1, N // ns)
 
-    def s_body(c):
-        (cell, t_max, t_enter, done, best_t, best_tri, rounds, iters,
-         nrows) = c
-        active = ~done
-        pos = jnp.cumsum(active.astype(jnp.int32)) - 1
-        sel = active & (pos < NS)
-        sidx = (jnp.zeros((NS,), jnp.int32) + izero_v[:NS]).at[
-            jnp.where(sel, pos, NS)
-        ].set(ray_ids, mode="drop")
-        msk = ns_lanes < jnp.sum(sel.astype(jnp.int32))
+        def s_cond(c):
+            n_active = jnp.sum((~c[3]).astype(jnp.int32))
+            return (
+                (n_active > stop_below) & (c[6] < max_small_rounds)
+            )
 
-        gath = lambda a: a[sidx]
-        ctx_s = jax.tree.map(gath, rctx)
-        cell_s = tuple(gath(x) for x in cell)
-        tmax_s = tuple(gath(x) for x in t_max)
-        cell_s, tmax_s, te_s, res_s, bt_s, btr_s, it_s, nr_s = run_round(
-            ctx_s, cell_s, tmax_s, gath(t_enter), msk,
-            gath(best_t), gath(best_tri), p1_steps_max,
-        )
-        wi = jnp.where(msk, sidx, N)  # padding lanes dropped on scatter
-        put = lambda full, small: full.at[wi].set(small, mode="drop")
-        return (
-            tuple(put(f, s) for f, s in zip(cell, cell_s)),
-            tuple(put(f, s) for f, s in zip(t_max, tmax_s)),
-            put(t_enter, te_s),
-            put(done, res_s),
-            put(best_t, bt_s),
-            put(best_tri, btr_s),
-            rounds + 1,
-            iters.at[wi].add(it_s, mode="drop"),
-            nrows.at[wi].add(jnp.where(msk, nr_s, 0), mode="drop"),
-        )
+        def s_body(c):
+            (cell, t_max, t_enter, done, best_t, best_tri, rounds, iters,
+             nrows) = c
+            active = ~done
+            pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+            sel = active & (pos < ns)
+            sidx = (jnp.zeros((ns,), jnp.int32) + izero_v[:ns]).at[
+                jnp.where(sel, pos, ns)
+            ].set(ray_ids, mode="drop")
+            msk = ns_lanes < jnp.sum(sel.astype(jnp.int32))
 
-    out = jax.lax.while_loop(
-        s_cond,
-        s_body,
-        (cell, t_max, t_enter, done, best_t, best_tri, izero + 1, iters,
-         nrows),
-    )
+            gath = lambda a: a[sidx]
+            ctx_s = jax.tree.map(gath, rctx)
+            cell_s = tuple(gath(x) for x in cell)
+            tmax_s = tuple(gath(x) for x in t_max)
+            cell_s, tmax_s, te_s, res_s, bt_s, btr_s, it_s, nr_s = run_round(
+                ctx_s, cell_s, tmax_s, gath(t_enter), msk,
+                gath(best_t), gath(best_tri), p1_steps_max,
+            )
+            wi = jnp.where(msk, sidx, N)  # padding lanes dropped on scatter
+            put = lambda full, small: full.at[wi].set(small, mode="drop")
+            return (
+                tuple(put(f, s) for f, s in zip(cell, cell_s)),
+                tuple(put(f, s) for f, s in zip(t_max, tmax_s)),
+                put(t_enter, te_s),
+                put(done, res_s),
+                put(best_t, bt_s),
+                put(best_tri, btr_s),
+                rounds + 1,
+                iters.at[wi].add(it_s, mode="drop"),
+                nrows.at[wi].add(jnp.where(msk, nr_s, 0), mode="drop"),
+            )
+
+        return jax.lax.while_loop(s_cond, s_body, state)
+
+    state = (cell, t_max, t_enter, done, best_t, best_tri, izero + 1, iters,
+             nrows)
+    tiers = [NS]
+    while tiers[-1] > 2048:
+        tiers.append(max(2048, tiers[-1] // 4))
+    tiers = tiers[:3]  # compile-size cap; 3 tiers span 16x in width
+    for i, ns in enumerate(tiers):
+        nxt = tiers[i + 1] if i + 1 < len(tiers) else 0
+        state = straggler_loop(state, ns, stop_below=nxt)
     best_t, best_tri, rounds, iters, nrows = (
-        out[4], out[5], out[6], out[7], out[8]
+        state[4], state[5], state[6], state[7], state[8]
     )
     hits = finalize_hits(scene, rays, best_t, best_tri, kernel)
     if with_stats:
