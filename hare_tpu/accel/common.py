@@ -268,10 +268,18 @@ def _test_windows(
 
 
 def _vals_from_comps(kernel, o, d, tri_cmp):
-    """(t, u, v, nx, ny, nz) of the frozen triangle from component tuples."""
+    """(t, u, v, nx, ny, nz) of the frozen triangle from component tuples.
+
+    UNMASKED evaluation (raw ray/plane solution): under a vertex update the
+    frozen triangle's barycentric bounds may no longer contain the ray —
+    the true hit slid to a neighboring triangle — but the fixed-topology
+    value/derivative is the supporting-plane solution.  The masked form
+    returned t = +inf there, which poisoned live-vertex losses (r4 verdict
+    follow-up)."""
     o_cmp = tuple(o[..., c] for c in range(3))
     d_cmp = tuple(d[..., c] for c in range(3))
-    _, t, u, v = kernel_components(kernel, o_cmp, d_cmp, tri_cmp)
+    _, t, u, v = kernel_components(kernel, o_cmp, d_cmp, tri_cmp,
+                                   unmasked=True)
     e1x, e1y, e1z, e2x, e2y, e2z = tri_cmp[3:9]
     nx = e1y * e2z - e1z * e2y
     ny = e1z * e2x - e1x * e2z
@@ -296,13 +304,16 @@ def _vals_live(kernel, vertices, iv, o, d):
 def _hit_vals(kernel, vertices, iv, o, d, row):
     """Hit values of the frozen triangle: (t, u, v, nx, ny, nz).
 
-    Forward: computed from ``row`` — the build-time geometry lanes of
+    Forward: computed from ``row`` — the geometry lanes of
     ``Scene.tri_geom`` (ONE gathered row; zero vertex gathers — measured
-    2.5 ms/shoot of narrow gathers removed at 32k rays).  Backward: the
-    exact VJP of the live recompute, evaluated at the CURRENT ``vertices``
-    (the gathers run only under differentiation).  The two coincide
-    whenever vertices equal the build vertices; see Scene.tri_geom for the
-    staleness contract.
+    2.5 ms/shoot of narrow gathers removed at 32k rays).  The rows track
+    the current ``scene.vertices``: ``Scene.with_vertices`` refreshes
+    them, so the forward is LIVE under vertex updates (r5; previously
+    build-time-frozen).  Backward: the exact VJP of the live recompute,
+    evaluated at the current ``vertices`` (the gathers run only under
+    differentiation); the ``row`` cotangent is zeroed so the gradient
+    reaches ``vertices`` exactly once even though the rows are themselves
+    a function of the vertices.
     """
     tri_cmp = tuple(row[:, c] for c in range(9))
     return _vals_from_comps(kernel, o, d, tri_cmp)

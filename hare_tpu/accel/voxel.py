@@ -72,8 +72,12 @@ FILL_PAD = 1.001
 # Epsilon nudge (in units of char_step) applied when clipping an outside ray
 # to the grid entry (Voxel_Grid.cs:367-377 uses 1e-6 absolute; we scale).
 ENTRY_EPS = 1e-4
-# Distance-field cap (cells); larger empty regions are crossed in several hops.
-DIST_CAP = 63
+# Distance-field cap (cells); larger empty regions are crossed in several
+# hops.  The cell_meta packing gives the field a full 8 bits, so the cap is
+# 255 (r5; it was 63, which made a 256^3 config-5 grid cross its biggest
+# empty megaregions in 4+ hops instead of 1 — the macro-cell effect for
+# free at any dims <= 256; grids wider than 256 per axis still hop).
+DIST_CAP = 255
 
 
 @partial(
@@ -117,14 +121,7 @@ def _fill(
     """
     T = len(tri)
     nx, ny, nz = dims
-    lo = tri.min(axis=1)  # (T, 3)
-    hi = tri.max(axis=1)
-    i_lo = np.clip(
-        np.floor((lo - gmin) / vox - 1e-9).astype(np.int64), 0, np.array(dims) - 1
-    )
-    i_hi = np.clip(
-        np.floor((hi - gmin) / vox + 1e-9).astype(np.int64), 0, np.array(dims) - 1
-    )
+    i_lo, i_hi = _footprint(tri, gmin, vox, dims)
     counts = np.prod(i_hi - i_lo + 1, axis=1)
     total = int(counts.sum())
     if total == 0:
@@ -151,12 +148,93 @@ def _fill(
 
     tri_ids = tri_ids[keep]
     cell_ijk = cell_ijk[keep]
+    return _pack_csr(tri_ids, cell_ijk, dims)
+
+
+def _pack_csr(
+    tri_ids: np.ndarray, cell_ijk: np.ndarray, dims: Tuple[int, int, int]
+) -> Tuple[np.ndarray, np.ndarray]:
+    nx, ny, nz = dims
     lin = (cell_ijk[:, 0] * ny + cell_ijk[:, 1]) * nz + cell_ijk[:, 2]
     order = np.argsort(lin, kind="stable")
     lin, tri_ids = lin[order], tri_ids[order]
     cell_counts = np.bincount(lin, minlength=nx * ny * nz)
     cell_start = np.concatenate([[0], np.cumsum(cell_counts)]).astype(np.int32)
     return cell_start, tri_ids.astype(np.int32)
+
+
+def _footprint(
+    tri: np.ndarray, gmin: np.ndarray, vox: np.ndarray, dims
+) -> Tuple[np.ndarray, np.ndarray]:
+    lo = tri.min(axis=1)
+    hi = tri.max(axis=1)
+    i_lo = np.clip(
+        np.floor((lo - gmin) / vox - 1e-9).astype(np.int64), 0, np.array(dims) - 1
+    )
+    i_hi = np.clip(
+        np.floor((hi - gmin) / vox + 1e-9).astype(np.int64), 0, np.array(dims) - 1
+    )
+    return i_lo, i_hi
+
+
+def _refine_fill(
+    tri: np.ndarray,
+    gmin: np.ndarray,
+    vox: np.ndarray,
+    dims: Tuple[int, int, int],
+    p_start: np.ndarray,
+    p_tris: np.ndarray,
+    p_dims: Tuple[int, int, int],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Parent-membership-pruned fill for one 2x-per-axis doubling.
+
+    Candidate (triangle, child-cell) pairs come only from the previous
+    level's (triangle, parent-cell) members, each parent spawning its <= 8
+    children intersected with the triangle's fine-level AABB footprint —
+    the reference's adaptive ctor does exactly this (each child tested
+    against the PARENT's member polys, ``Voxel_Grid.cs:208-215``); the r4
+    build instead re-ran the full footprint fill per doubling, an
+    O(doublings) constant-factor loss on big scenes.  Pruning is exact:
+    the padded child box (pad 0.1% of the CHILD voxel) nests strictly
+    inside the padded parent box (pad 0.1% of the 2x parent voxel), so
+    SAT(child) implies SAT(parent) and no membership can appear at the
+    fine level that was absent at the coarse one.  Each fine cell has
+    exactly one parent, so no duplicate pairs arise.
+    """
+    i_lo, i_hi = _footprint(tri, gmin, vox, dims)
+    p_counts = np.diff(p_start)
+    par_lin = np.repeat(np.arange(len(p_counts), dtype=np.int64), p_counts)
+    t_par = p_tris.astype(np.int64)
+    pny, pnz = p_dims[1], p_dims[2]
+    pc = np.stack(
+        [par_lin // (pnz * pny), (par_lin // pnz) % pny, par_lin % pnz], axis=1
+    )
+    c_lo = np.maximum(i_lo[t_par], pc * 2)
+    c_hi = np.minimum(i_hi[t_par], pc * 2 + 1)
+    span = c_hi - c_lo + 1
+    ok = (span > 0).all(axis=1)
+    t_par, c_lo, span = t_par[ok], c_lo[ok], span[ok]
+    counts = np.prod(span, axis=1)
+    total = int(counts.sum())
+    nx, ny, nz = dims
+    if total == 0:
+        return np.zeros(nx * ny * nz + 1, np.int32), np.zeros(0, np.int32)
+    pair_ids = np.repeat(np.arange(len(counts)), counts)
+    ends = np.cumsum(counts)
+    local = np.arange(total) - np.repeat(ends - counts, counts)
+    sy, sz = span[pair_ids, 1], span[pair_ids, 2]
+    iz = local % sz
+    iy = (local // sz) % sy
+    ix = local // (sz * sy)
+    cell_ijk = np.stack(
+        [c_lo[pair_ids, 0] + ix, c_lo[pair_ids, 1] + iy, c_lo[pair_ids, 2] + iz],
+        axis=1,
+    )
+    tri_ids = t_par[pair_ids]
+    center = gmin + (cell_ijk + 0.5) * vox
+    half = np.broadcast_to(0.5 * vox * FILL_PAD, center.shape)
+    keep = tri_box_overlap(tri[tri_ids], center, half)
+    return _pack_csr(tri_ids[keep], cell_ijk[keep], dims)
 
 
 def _chebyshev_distance(occ: np.ndarray, cap: int = DIST_CAP) -> np.ndarray:
@@ -238,15 +316,24 @@ def build_voxel_grid(
     else:
         dims = (1, 1, 1)
         cell_start, cell_tris = None, None
+        prev = None
         for _ in range(max_doublings + 1):
             vox = extent / np.array(dims)
-            cell_start, cell_tris = _fill(tri, gmin, vox, dims)
+            if prev is None:
+                cell_start, cell_tris = _fill(tri, gmin, vox, dims)
+            else:
+                # Parent-membership pruning (Voxel_Grid.cs:208-215): each
+                # doubling tests only the previous level's member pairs.
+                cell_start, cell_tris = _refine_fill(
+                    tri, gmin, vox, dims, *prev
+                )
             counts = np.diff(cell_start)
             occ = counts[counts > 0]
             if len(occ) and occ.mean() < avg_polys:
                 break
             if np.prod(dims) >= 2 ** (3 * max_doublings):
                 break
+            prev = (cell_start, cell_tris, dims)
             dims = tuple(d * 2 for d in dims)
         vox = extent / np.array(dims)
 
@@ -327,8 +414,11 @@ def shoot_grid(
     ``Voxel_Grid.cs:29-32, 334-343``, whose global ``assign_id()`` lock
     would serialize all rays).
 
-    With ``with_stats=True`` returns ``(HitRecord, per_ray_iterations)`` —
-    per-ray phase-1 iteration counts (SURVEY.md §5 observability).
+    With ``with_stats=True`` returns the 4-tuple ``(HitRecord, iters,
+    rounds, nrows)`` — per-ray phase-1 iteration counts, the scalar number
+    of collect+test rounds, and per-ray window-row counts tested
+    (SURVEY.md §5 observability).  NB the stats arity changed r3 (3-tuple)
+    -> r4 (4-tuple, adding ``nrows``).
     """
     nx, ny, nz = grid.dims
     dims = jnp.array(grid.dims, jnp.int32)

@@ -70,10 +70,12 @@ def sharded_histogram(
     sound_speed: float = SOUND_SPEED,
     axis: str = "rays",
     use_scattering: bool = False,
+    soft: bool = False,
 ):
     """Build a jitted ``(scene, rays, absorption[, scattering, key]) ->
     histogram`` that shards rays over the mesh and psums the per-device
-    histograms.
+    histograms.  ``soft=True`` uses the tent-binned histogram (time- and
+    hence vertex-differentiable; see :func:`energy_histogram`).
 
     Differentiable in ``absorption`` (and ``scattering``/``scene.vertices``):
     shard_map's transpose turns the replicated-in/psum-out structure into the
@@ -97,7 +99,7 @@ def sharded_histogram(
             scene, rays, absorption, n_bounces, shoot_fn, aux=aux,
             sound_speed=sound_speed, **kw,
         )
-        hist = energy_histogram(res, n_bins, bin_dt)
+        hist = energy_histogram(res, n_bins, bin_dt, soft=soft)
         return jax.lax.psum(hist, axis)
 
     extra = (P(), P()) if use_scattering else ()
@@ -125,6 +127,7 @@ def make_train_step(
     fit_vertices: bool = False,
     axis: str = "rays",
     use_scattering: bool = False,
+    soft: Optional[bool] = None,
 ):
     """A full sharded training step for inverse acoustic design.
 
@@ -137,7 +140,16 @@ def make_train_step(
 
     params: dict with 'absorption' (P,); optionally 'scattering' (P,) (pass
     ``use_scattering=True``) and 'vertices' (V, 3).
+
+    ``soft`` (histogram binning) defaults to ``fit_vertices``: vertex
+    positions only reach the histogram through arrival TIMES, and the hard
+    histogram is piecewise-constant in time — zero gradient almost
+    everywhere — so vertex fitting requires the tent-binned form (see
+    :func:`energy_histogram`).  Build the TARGET histogram with the same
+    ``soft`` setting.  For large vertex moves, rebuild the accel structure
+    every few steps in an outer loop (``examples/fit_vertices.py``).
     """
+    soft_hist = fit_vertices if soft is None else soft
 
     def local_loss(params, scene, rays, target, aux, *rest):
         a = jax.nn.sigmoid(params["absorption"])  # keep in (0, 1)
@@ -150,7 +162,7 @@ def make_train_step(
                 key=jax.random.fold_in(rest[0], jax.lax.axis_index(axis)),
             )
         res = trace_rays(scene, rays, a, n_bounces, shoot_fn, aux=aux, **kw)
-        hist = energy_histogram(res, n_bins, bin_dt)
+        hist = energy_histogram(res, n_bins, bin_dt, soft=soft_hist)
         hist = jax.lax.psum(hist, axis)
         return jnp.sum((hist - target) ** 2) / n_bins
 

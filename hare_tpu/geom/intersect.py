@@ -46,7 +46,8 @@ DET_EPS = 1e-6
 MIN_T = 1e-10
 
 
-def kernel_components(kernel, o_cmp, d_cmp, tri_cmp, det_eps=None):
+def kernel_components(kernel, o_cmp, d_cmp, tri_cmp, det_eps=None,
+                      unmasked=False):
     """THE ray/triangle test — the single source of truth for both kernels.
 
     Operates on broadcastable scalar COMPONENT arrays (lane-friendly): never
@@ -74,8 +75,18 @@ def kernel_components(kernel, o_cmp, d_cmp, tri_cmp, det_eps=None):
       tri_cmp: (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z).
       det_eps: determinant cutoff; None = ``DET_EPS`` for "mt" (reference
         parity), 0.0 for "watertight" (edge-on hits accepted).
+      unmasked: when True, t/u/v are the raw ray/PLANE solution of the
+        triangle's supporting plane (guarded only against det == 0) rather
+        than +inf where the barycentric bounds fail.  This is the
+        fixed-hit-topology evaluation ``finalize_hits`` needs: after a
+        vertex update the frozen triangle's bounds may no longer contain
+        the ray (the true hit slid to a neighbor), but the implicit-
+        function value/derivative of the hit is the plane solution —
+        masking it to +inf would poison live-vertex losses.  ``valid`` is
+        still the in-bounds test either way.
     Returns: (valid, t, u, v) broadcast over the inputs; t is +inf where
-      invalid; u at v1, v at v2 (unflipped barycentric basis).
+      invalid (masked mode) or where det == 0; u at v1, v at v2 (unflipped
+      barycentric basis).
     """
     ox, oy, oz = o_cmp
     dx, dy, dz = d_cmp
@@ -127,8 +138,9 @@ def kernel_components(kernel, o_cmp, d_cmp, tri_cmp, det_eps=None):
             (u_s <= tol) & (v_s <= tol) & (w_s <= tol)
         )
         valid = same_sign & (jnp.abs(det) > det_eps)
-        inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
-        t = jnp.where(valid, sz * (u_s * az + v_s * bz + w_s * cz) * inv_det, inf)
+        ok = (det != 0.0) if unmasked else valid
+        inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        t = jnp.where(ok, sz * (u_s * az + v_s * bz + w_s * cz) * inv_det, inf)
         u = v_s * inv_det
         v = w_s * inv_det
         return valid, t, u, v
@@ -159,8 +171,9 @@ def kernel_components(kernel, o_cmp, d_cmp, tri_cmp, det_eps=None):
         & (s * (u_s + v_s) <= s * det)
         & (jnp.abs(det) > det_eps)
     )
-    inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
-    t = jnp.where(valid, t_s * inv_det, inf)
+    ok = (det != 0.0) if unmasked else valid
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    t = jnp.where(ok, t_s * inv_det, inf)
     return valid, t, u_s * inv_det, v_s * inv_det
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..geom.math import cross, normalize
@@ -62,17 +63,21 @@ class Scene(NamedTuple):
     # Packed per-triangle GEOMETRY row — ONE 16-lane f32 gather serves the
     # whole hit-finalize + bounce step (r4; replaces a tri_meta gather plus
     # THREE narrow per-vertex gathers, measured 2.5 ms/shoot at 32k rays):
-    #   lanes 0-8   v0 | e1 | e2 (build-time vertex positions, f32)
+    #   lanes 0-8   v0 | e1 | e2 (vertex positions, f32)
     #   lane  9     tri_poly              (i32 bitcast)
     #   lanes 10-12 coplanar edge nbrs    (i32 bitcast, = tri_meta lanes 1-3)
     #   lanes 13-15 tri_v                 (i32 bitcast)
-    # NB: the geometry lanes are BUILD-TIME constants.  Forward hit values
-    # are computed from them; gradients w.r.t. ``vertices`` are supplied by
-    # a custom_vjp that gathers live vertices in the backward pass only
-    # (accel/common._hit_vals).  The two coincide whenever ``vertices``
-    # equals the build vertices — and when they don't (``with_vertices``
-    # without a rebuild), traversal itself is stale, so the contract stays
-    # "rebuild accel (and scene) after moving vertices" (utils/checkpoint).
+    # The geometry lanes equal the CURRENT ``vertices`` at all times:
+    # ``with_vertices`` recomputes them in-jit (one (T,3)-gather triple —
+    # paid only inside fit loops; benches that never move vertices pay
+    # nothing), so forward hit values from every accel backend respond to
+    # live coordinates.  Gradients w.r.t. ``vertices`` are supplied by a
+    # custom_vjp that gathers live vertices in the backward pass only
+    # (accel/common._hit_vals).  What stays build-time is the TRAVERSAL
+    # tables (grid cells / tree nodes / window rows): after a large vertex
+    # move the candidate-triangle assignment is approximate until the accel
+    # structure is rebuilt — the outer-loop contract (utils/checkpoint,
+    # examples/fit_vertices.py).
     tri_geom: jnp.ndarray  # (T, 16) f32
 
     @property
@@ -104,5 +109,41 @@ class Scene(NamedTuple):
         return normalize(n) if unit else n
 
     def with_vertices(self, vertices: jnp.ndarray) -> "Scene":
-        """Functional ``Set_Vertex``: same topology, new coordinates."""
-        return self._replace(vertices=jnp.asarray(vertices))
+        """Functional ``Set_Vertex`` (``Hare_Geometry_Topology.cs:506-511``
+        — the reference's entire shape-optimization hook): same topology,
+        new coordinates.
+
+        Also refreshes ``tri_geom``'s geometry lanes from the new vertices
+        (in-jit, differentiable), so the FORWARD pass of every accel
+        backend sees the live coordinates — without this, grid/octree/
+        kdtree losses were bit-identical under any vertex change (r4
+        verdict headline) and ``fit_vertices`` could not descend.  Traversal
+        tables still hold build-time geometry; rebuild the accel structure
+        after large moves (see ``tri_geom``'s field comment).
+        """
+        vertices = jnp.asarray(vertices)
+        if self.tri_geom.shape[0] == 0 or vertices.shape[0] == 0:
+            return self._replace(vertices=vertices)
+        v = vertices.astype(self.tri_geom.dtype)
+        v0 = v[self.tri_v[:, 0]]
+        v1 = v[self.tri_v[:, 1]]
+        v2 = v[self.tri_v[:, 2]]
+        geom = jnp.concatenate([v0, v1 - v0, v2 - v0], axis=1)
+        # Splice the refreshed geometry lanes with the (unchanged) id lanes
+        # in the INT domain: the id lanes are int32 bitcast to f32, and f32
+        # data movement on TPU canonicalizes NaN payloads — an f32
+        # concatenate rewrote every -1 sentinel (0xFFFFFFFF) to the default
+        # NaN (0x7FC00000), silently corrupting poly/neighbor/vertex ids.
+        # stop_gradient: bitcast has no transpose rule, and gradients never
+        # flow through the rows anyway — accel/common._hit_vals zeroes the
+        # row cotangent and supplies d/d(vertices) from its live-vertex
+        # backward, so the row path is dead weight for AD by construction.
+        geom_i = jax.lax.bitcast_convert_type(
+            jax.lax.stop_gradient(geom), jnp.int32
+        )
+        old_i = jax.lax.bitcast_convert_type(self.tri_geom, jnp.int32)
+        tri_geom = jax.lax.bitcast_convert_type(
+            jnp.concatenate([geom_i, old_i[:, 9:]], axis=1),
+            self.tri_geom.dtype,
+        )
+        return self._replace(vertices=vertices, tri_geom=tri_geom)

@@ -8,7 +8,12 @@ from .bounce import (
     reflect,
     trace_rays,
 )
-from .sampler import scene_surface_points, triangle_points, uniform_sphere
+from .sampler import (
+    polygon_points,
+    scene_surface_points,
+    triangle_points,
+    uniform_sphere,
+)
 
 __all__ = [
     "SOUND_SPEED",
@@ -19,5 +24,6 @@ __all__ = [
     "scene_surface_points",
     "trace_rays",
     "triangle_points",
+    "polygon_points",
     "uniform_sphere",
 ]

@@ -223,8 +223,9 @@ def trace_rays(
         # origin can round to its far side and re-hit it at tiny t).
         # Barycentric edge proximity: w = weight(v0), u = weight(v1),
         # v = weight(v2); edge k joins corners (k, k+1).  The coplanarity
-        # filter is pre-baked into tri_meta lanes 1-3, so the nearest-edge
-        # neighbor is a 3-way select — no gathers.
+        # filter is pre-baked into Scene.tri_geom lanes 10-12 (mirroring
+        # tri_meta lanes 1-3), so the nearest-edge neighbor is a 3-way
+        # select — no gathers.
         w_b = 1.0 - hr.u - hr.v
         b0, b1, b2 = hr.v, w_b, hr.u  # edge 0/1/2 distance
         n01 = jnp.where(b0 <= b1, nbr_rows[:, 0], nbr_rows[:, 1])
@@ -256,9 +257,9 @@ def trace_rays(
     return TraceResult(hit, energy, time, poly, point, t)
 
 
-@partial(jax.jit, static_argnames=("n_bins",))
+@partial(jax.jit, static_argnames=("n_bins", "soft"))
 def energy_histogram(
-    result: TraceResult, n_bins: int, bin_dt: float = 1e-3
+    result: TraceResult, n_bins: int, bin_dt: float = 1e-3, soft: bool = False
 ) -> jnp.ndarray:
     """Time-binned impulse-response energy histogram, ``(n_bins,)``.
 
@@ -266,7 +267,30 @@ def energy_histogram(
     ``floor(time / bin_dt)``; energies beyond the window are clamped into the
     last bin so totals are conserved (tests rely on total == sum of bounce
     energies).  ``segment_sum`` lowers to an efficient one-pass scatter.
+
+    ``soft=True``: linear-interpolation ("tent") binning — each energy is
+    split between the two bins whose CENTERS bracket its arrival time, in
+    proportion to proximity.  The hard histogram is piecewise-constant in
+    the arrival times, so ``d(histogram)/d(vertices)`` is zero almost
+    everywhere and vertex fitting through a histogram loss cannot descend;
+    the soft form is differentiable in time (hence in vertex positions via
+    the hit distances) while conserving totals exactly.  Absorption /
+    scattering gradients work under either form.
     """
+    if soft:
+        pos = result.time / bin_dt - 0.5  # bin i's center at (i + 0.5) dt
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), -1, n_bins - 1)
+        frac = jnp.clip(pos - i0.astype(result.time.dtype), 0.0, 1.0)
+        # Clamp boundary halves into the edge bins so totals are conserved.
+        b_lo = jnp.where(result.hit, jnp.maximum(i0, 0), n_bins)
+        b_hi = jnp.where(result.hit, jnp.minimum(i0 + 1, n_bins - 1), n_bins)
+        e_hi = result.energy * frac
+        e_lo = result.energy - e_hi
+        return jax.ops.segment_sum(
+            jnp.concatenate([e_lo.ravel(), e_hi.ravel()]),
+            jnp.concatenate([b_lo.ravel(), b_hi.ravel()]),
+            num_segments=n_bins + 1,
+        )[:n_bins]
     bins = jnp.clip((result.time / bin_dt).astype(jnp.int32), 0, n_bins - 1)
     flat_bins = jnp.where(result.hit, bins, n_bins)  # dead lanes -> dropped
     return jax.ops.segment_sum(

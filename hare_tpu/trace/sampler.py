@@ -14,7 +14,12 @@ import jax.numpy as jnp
 
 from ..mesh.scene import Scene
 
-__all__ = ["uniform_sphere", "triangle_points", "scene_surface_points"]
+__all__ = [
+    "uniform_sphere",
+    "triangle_points",
+    "polygon_points",
+    "scene_surface_points",
+]
 
 
 def uniform_sphere(key: jax.Array, n: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -41,6 +46,27 @@ def triangle_points(
     u = 1.0 - tmp
     v = r2 * tmp
     return v0 + u[:, None] * (v1 - v0) + v[:, None] * (v2 - v0)
+
+
+def polygon_points(key: jax.Array, topology, poly_id: int, n: int) -> jnp.ndarray:
+    """Uniform points on ONE polygon of a :class:`Topology`.
+
+    ``Quadrilateral.GetRandomPoint`` parity
+    (``Hare_Geometry_Polygons.cs:724-728, 839-862``): a quad samples one of
+    its two triangles (0,1,2)/(2,3,0) with probability proportional to
+    area, then sqrt-warp samples inside it; a triangle is
+    ``Triangle.GetRandomPoint`` (``:690-696``) directly.
+    """
+    v = jnp.asarray(topology.vertices[topology.poly_verts[poly_id]], jnp.float32)
+    if v.shape[0] == 3:
+        return triangle_points(key, v[0], v[1], v[2], n)
+    a1 = 0.5 * jnp.linalg.norm(jnp.cross(v[1] - v[0], v[2] - v[0]))
+    a2 = 0.5 * jnp.linalg.norm(jnp.cross(v[3] - v[2], v[0] - v[2]))
+    kc, k1, k2 = jax.random.split(key, 3)
+    second = jax.random.uniform(kc, (n,)) < a2 / (a1 + a2)
+    p1 = triangle_points(k1, v[0], v[1], v[2], n)
+    p2 = triangle_points(k2, v[2], v[3], v[0], n)
+    return jnp.where(second[:, None], p2, p1)
 
 
 def scene_surface_points(key: jax.Array, scene: Scene, n: int) -> jnp.ndarray:

@@ -84,6 +84,47 @@ def test_train_step_descends():
     assert losses[-1] < losses[0] * 0.1, losses
 
 
+def test_vertex_train_step_descends():
+    """Sharded fit_vertices=True step actually reduces loss over iterations
+    — the r4 API shipped this path but its loss was insensitive to the
+    vertex parameters (forward read build-time geometry rows)."""
+    top, sp, _, rays = setup(n_rays=256)
+    mesh = make_ray_mesh(8)
+    v_build = sp.scene.vertices
+    v_true = v_build * 1.03
+    a_raw = jnp.full(top.n_polys, 0.3, jnp.float32)
+    # Target from the same pipeline (soft binning to match the train step).
+    fn = sharded_histogram(
+        mesh, sp.shoot_fn, n_bounces=2, n_bins=64, bin_dt=2e-3, soft=True
+    )
+    target = fn(sp.scene.with_vertices(v_true), rays, a_raw)
+
+    opt = optax.adam(2e-2)
+    step = make_train_step(
+        mesh, sp.shoot_fn, opt, n_bounces=2, n_bins=64, bin_dt=2e-3,
+        fit_vertices=True,
+    )
+    # Absorption initialized AT its true value (sigmoid(logit(0.3)) = 0.3)
+    # so the loss isolates the vertex path.
+    params = {
+        "absorption": jnp.full(top.n_polys, float(np.log(0.3 / 0.7))),
+        "vertices": v_build,
+    }
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(
+            params, opt_state, sp.scene, rays, target
+        )
+        losses.append(float(loss))
+    assert losses[-1] < 0.2 * losses[0], (losses[0], losses[-1])
+    # And the vertex parameters actually moved (the r4 bug left them with
+    # zero gradient, so they would sit exactly at the init).
+    assert float(jnp.abs(params["vertices"] - v_build).max()) > 1e-3
+    # NB: max|v - v_true| is NOT asserted to shrink — a histogram only
+    # constrains arrival-time combinations, not individual vertices.
+
+
 def test_sharded_scattering_train_step():
     """Sharded joint (absorption, scattering) fit: decorrelated per-shard
     RNG, loss decreases, grads finite for both coefficient sets."""

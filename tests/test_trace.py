@@ -92,6 +92,67 @@ def test_histogram_binning():
         assert hist[b] >= 1.0 - 1e-5
 
 
+def test_polygon_points_quad_parity():
+    """Quadrilateral.GetRandomPoint parity: samples lie on the quad's plane
+    inside its bounds, split ~area-fraction between the two triangles."""
+    from hare_tpu.trace import polygon_points
+
+    top = Topology.build(shapes.shoebox_quads(4, 5, 3))
+    # floor quad: z = 0, spans [0,4]x[0,5]
+    pid = 0
+    pts = np.asarray(polygon_points(jax.random.PRNGKey(2), top, pid, 4000))
+    corners = top.vertices[top.poly_verts[pid]]
+    assert abs(corners[:, 2]).max() < 1e-12  # it really is the floor
+    assert np.abs(pts[:, 2]).max() < 1e-5
+    assert (pts[:, 0] >= -1e-5).all() and (pts[:, 0] <= 4 + 1e-5).all()
+    assert (pts[:, 1] >= -1e-5).all() and (pts[:, 1] <= 5 + 1e-5).all()
+    # Uniformity: each quadrant of the rectangle gets ~25%.
+    qx, qy = pts[:, 0] > 2.0, pts[:, 1] > 2.5
+    for m in (qx & qy, qx & ~qy, ~qx & qy, ~qx & ~qy):
+        assert 0.2 < m.mean() < 0.3
+    # Triangle polygon path too.
+    top3 = Topology.build(shapes.shoebox(4, 5, 3))
+    pts3 = np.asarray(polygon_points(jax.random.PRNGKey(3), top3, 0, 500))
+    assert np.isfinite(pts3).all() and pts3.shape == (500, 3)
+
+
+def test_soft_histogram_conserves_and_differentiates():
+    """Tent-binned histogram: totals equal the hard histogram's (energy
+    conservation incl. the clamped boundary halves), values split between
+    the bracketing bin centers, and — the point of the feature — the
+    histogram is differentiable in arrival TIME (the hard form's
+    floor-cast gradient is zero a.e., which is why fit_vertices needs
+    soft binning)."""
+    from hare_tpu.trace import TraceResult
+
+    hit = jnp.array([[True, True, True, False]])
+    energy = jnp.array([[0.5, 0.25, 1.0, 7.0]])
+    #              bin0/1 split   bin12/13    clamped into last bin   dead
+    time = jnp.array([[0.0011, 0.0129, 99.0, 1.0]])
+    z = jnp.zeros((1, 4))
+    res = TraceResult(hit, energy, time, z.astype(jnp.int32), jnp.zeros((1, 4, 3)), z)
+
+    hh = np.asarray(energy_histogram(res, 16, 1e-3))
+    hs = np.asarray(energy_histogram(res, 16, 1e-3, soft=True))
+    np.testing.assert_allclose(hh.sum(), 1.75, rtol=1e-6)
+    np.testing.assert_allclose(hs.sum(), 1.75, rtol=1e-6)
+    # t=1.1ms, centers at 0.5/1.5ms -> frac 0.6: bin0 gets 0.2, bin1 0.3.
+    np.testing.assert_allclose(hs[0], 0.2, rtol=1e-5)
+    np.testing.assert_allclose(hs[1], 0.3, rtol=1e-5)
+    np.testing.assert_allclose(hs[15], 1.0, rtol=1e-6)  # clamped overflow
+
+    def first_moment(tt, soft):
+        h = energy_histogram(res._replace(time=tt), 16, 1e-3, soft=soft)
+        return jnp.sum(h * jnp.arange(16, dtype=h.dtype))
+
+    g_soft = np.asarray(jax.grad(lambda tt: first_moment(tt, True))(time))
+    g_hard = np.asarray(jax.grad(lambda tt: first_moment(tt, False))(time))
+    assert np.any(g_soft != 0.0)
+    np.testing.assert_array_equal(g_hard, 0.0)
+    # d(moment)/dt for the split ray = energy / bin_dt = 500.
+    np.testing.assert_allclose(g_soft[0, 0], 0.5 / 1e-3, rtol=1e-4)
+
+
 def test_grad_absorption(rng):
     """d(histogram energy)/d(absorption): negative, matches finite diff."""
     top, absorption = make_room()

@@ -72,6 +72,29 @@ def test_grid_adaptive():
     assert grid.max_cell_wins == -(-counts.max() // _W)
 
 
+def test_adaptive_refine_matches_full_fill():
+    """Parent-membership-pruned doubling (_refine_fill) produces exactly
+    the same CSR membership as a from-scratch fill at the fine level —
+    pruning is exact because padded child boxes nest inside padded parent
+    boxes (Voxel_Grid.cs:208-215 parity, r5)."""
+    from hare_tpu.accel.voxel import _fill, _refine_fill
+
+    top = Topology.build(shapes.random_soup(200, seed=9))
+    tri = top.vertices[top.tri_v]
+    gmin = tri.reshape(-1, 3).min(axis=0) - 1e-3
+    gmax = tri.reshape(-1, 3).max(axis=0) + 1e-3
+    extent = gmax - gmin
+    for coarse, fine in (((1, 1, 1), (2, 2, 2)), ((2, 2, 2), (4, 4, 4)),
+                         ((4, 4, 4), (8, 8, 8))):
+        ps, pt = _fill(tri, gmin, extent / np.array(coarse), coarse)
+        full_s, full_t = _fill(tri, gmin, extent / np.array(fine), fine)
+        ref_s, ref_t = _refine_fill(
+            tri, gmin, extent / np.array(fine), fine, ps, pt, coarse
+        )
+        np.testing.assert_array_equal(full_s, ref_s)
+        np.testing.assert_array_equal(full_t, ref_t)
+
+
 def test_grid_agreement_shoebox(rng):
     top = Topology.build(shapes.shoebox(4, 5, 3))
     sc = top.scene()
