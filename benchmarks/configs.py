@@ -140,8 +140,12 @@ def main(which: str):
         top = Topology.build(big_scene("650k"))
         t_topo = time.time() - t0
         t0 = time.time()
-        sp = SpatialPartition(top, accel="kdtree", max_depth=20,
-                              max_tris_per_node=16)
+        # r5 attribution: this config is pure KD-walk-bound (pops mean 194
+        # at leaf 16/depth 20).  Fatter leaves trade pops for window rows
+        # the test phase absorbs far more cheaply: leaf 16/32/64/128 ->
+        # 277/216/168/172 ms raw shoot (pops 191/135/99/69), so leaf 64 +
+        # auto depth is 1.65x the r4 configuration.
+        sp = SpatialPartition(top, accel="kdtree", max_tris_per_node=64)
         # NB: property access creates a fresh closure; hoist ONCE so the
         # jitted trace is not retraced (recompiled!) per timing iteration.
         shoot_fn = sp.shoot_fn
@@ -177,6 +181,10 @@ def main(which: str):
         top = Topology.build(big_scene("5M"))
         t_topo = time.time() - t0
         t0 = time.time()
+        # Default knobs: the r5 deep-tail variants (tier=4 + compacted
+        # high-slot arm, cap_s=64 straggler buffer) were measured
+        # INTERLEAVED at this scale and lost ~10-15% despite cutting
+        # resume rounds 13 -> 4 — see BASELINE.md r5.
         sp = SpatialPartition(top, accel="grid", domain=256)
         # NB: property access creates a fresh closure; hoist ONCE so the
         # jitted trace is not retraced (recompiled!) per timing iteration.

@@ -46,7 +46,7 @@ KDTree = TreeTables
 
 def build_kdtree(
     source: Union[Topology, Sequence[Topology], Scene],
-    max_depth: int = 16,
+    max_depth: Optional[int] = None,
     max_tris_per_node: int = 12,
     pad: float = 1e-3,
     levels: int = 1,
@@ -62,8 +62,18 @@ def build_kdtree(
     crosses >4 of 8 supernode cells and the traversal's rare-overflow push
     arm becomes the common case — levels 2/3 measured 1.2x/2.9x SLOWER
     end-to-end than binary.  Default stays 1; the knob remains for
-    non-adversarial shapes."""
+    non-adversarial shapes.
+
+    ``max_depth=None`` right-sizes the depth to the scene:
+    ``ceil(log2(n_tris / max_tris_per_node)) + 2``, clamped [2, 22] —
+    depth bounds the per-ray register stack whose (N, S) selects dominate
+    the traversal's VPU cost (see build_octree)."""
     tri, tri_poly, tri_top = _extract(source)
+    if max_depth is None:
+        full = max(1, -(-len(tri) // max(max_tris_per_node, 1)))
+        max_depth = min(
+            max(int(np.ceil(np.log2(full))) + 2, 2), 22
+        )
     lo = tri.min(axis=1)  # (T, 3) per-tri AABB
     hi = tri.max(axis=1)
     centroid = tri.mean(axis=1)

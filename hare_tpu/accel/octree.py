@@ -81,11 +81,20 @@ def _extract_tris(source) -> np.ndarray:
 
 def build_octree(
     source: Union[Topology, Sequence[Topology], Scene],
-    max_depth: int = 8,
+    max_depth: Optional[int] = None,
     max_tris_per_node: int = 16,
     pad: float = 1e-3,
 ) -> Octree:
+    """``max_depth=None`` right-sizes the depth to the scene:
+    ``ceil(log8(n_tris / max_tris_per_node)) + 1``, clamped [2, 10].  The
+    depth bounds the traversal's per-ray register stack S = 7*(depth+2)+4,
+    whose (N, S) selects are the dominant VPU cost — an oversized fixed
+    depth 8 on the 1,608-tri concert hall cost ~13% at 1M rays (r5
+    measured: 781-820 ms -> 685-733 at depth 4, pops unchanged)."""
     tri, tri_poly, tri_top = _extract(source)
+    if max_depth is None:
+        full = max(1, -(-len(tri) // max(max_tris_per_node, 1)))
+        max_depth = min(max(int(np.ceil(np.log(full) / np.log(8))) + 1, 2), 10)
     lo = tri.reshape(-1, 3).min(axis=0) - pad
     hi = tri.reshape(-1, 3).max(axis=0) + pad
     # Cubify on the max dimension (Octree - alt.cs:78-85), centered.

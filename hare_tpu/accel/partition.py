@@ -49,6 +49,8 @@ class SpatialPartition:
         cap: Optional[int] = None,
         march: Optional[int] = None,
         soft: Optional[int] = None,
+        tier: Optional[int] = None,
+        cap_s: Optional[int] = None,
         **params,
     ):
         if isinstance(model, Topology):
@@ -61,10 +63,16 @@ class SpatialPartition:
         # grid takes ``cap`` candidate-buffer slots, trees take ``march``
         # steps per traversal round.  None = the shoot function's default.
         self._shoot_kw = {"kernel": kernel}
-        if accel == "grid" and cap is not None:
-            self._shoot_kw["cap"] = cap
-        if accel == "grid" and soft is not None:
-            self._shoot_kw["soft"] = soft
+        if accel == "grid":
+            # r5 deep-tail knobs: ``tier`` (always-tested slots + compacted
+            # high-slot arm) and ``cap_s`` (deeper straggler buffer) — see
+            # shoot_grid; worthwhile on scenes whose per-ray candidate-row
+            # tails are long (config-5 scale), neutral-to-negative on
+            # shallow ones, so both default off.
+            for name, val in (("cap", cap), ("soft", soft), ("tier", tier),
+                              ("cap_s", cap_s)):
+                if val is not None:
+                    self._shoot_kw[name] = val
         if accel in ("octree", "kdtree") and march is not None:
             self._shoot_kw["march"] = march
 
@@ -81,6 +89,8 @@ class SpatialPartition:
             self.struct = build_voxel_grid(self.model, **params)
             self._shoot = partial(shoot_grid, grid=self.struct, **self._shoot_kw)
             self.char_step = self.struct.char_step
+            self._build_params = dict(params)
+            self._top_grids = {}  # per-topology grids (Voxel_Inv analog)
         elif accel == "octree":
             self.struct = build_octree(self.model, **params)
             self._shoot = partial(shoot_octree, tree=self.struct, **self._shoot_kw)
@@ -96,7 +106,29 @@ class SpatialPartition:
 
     def shoot(self, rays: Ray, top_index: Optional[int] = None) -> HitRecord:
         """``Spatial_Partition.Shoot`` — both overloads: exclusion rides on
-        ``rays.exclude_poly`` (``NO_POLY`` = none)."""
+        ``rays.exclude_poly`` (``NO_POLY`` = none).
+
+        Grid + ``top_index`` on a multi-topology model uses a PER-TOPOLOGY
+        grid (built lazily, cached): the reference's 4-D ``Voxel_Inv``
+        gives each topology its own per-voxel candidate list
+        (``Voxel_Grid.cs:83``), so a filtered shoot walks only that
+        topology's occupancy instead of collecting every topology's window
+        rows and masking at test time.  The rows carry global ids, so no
+        test-time ``top_index`` filter is needed at all.
+        """
+        if (
+            top_index is not None
+            and self.accel_name == "grid"
+            and len(self.model) > 1
+        ):
+            g = self._top_grids.get(top_index)
+            if g is None:
+                g = build_voxel_grid(
+                    self.model, only_top=top_index, **self._build_params
+                )
+                self._top_grids[top_index] = g
+            kw = {k: v for k, v in self._shoot_kw.items()}
+            return shoot_grid(self.scene, rays, g, **kw)
         return self._shoot(self.scene, rays, top_index=top_index)
 
     @property

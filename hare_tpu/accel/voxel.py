@@ -278,11 +278,21 @@ def build_voxel_grid(
     avg_polys: float = 10.0,
     pad: float = 1e-3,
     win: Optional[int] = None,
+    only_top: Optional[int] = None,
 ) -> VoxelGrid:
     """Build the grid.  ``domain`` given -> fixed ``domain^3`` resolution
     (``Voxel_Grid.cs:48``); ``domain=None`` -> adaptive doubling until the
     mean triangles per occupied voxel < ``avg_polys`` or ``max_doublings``
-    (``:128-254``)."""
+    (``:128-254``).
+
+    ``only_top``: restrict the grid to ONE topology's triangles (window
+    rows still carry the GLOBAL triangle/polygon ids, so hits finalize
+    against the shared multi-topology Scene).  This is the reference's 4-D
+    ``Voxel_Inv`` per-topology candidate lists (``Voxel_Grid.cs:83``):
+    ``Shoot(R, top_index)`` walks only that topology's occupancy instead
+    of collecting every topology's rows and filtering at test time —
+    strictly less traversal AND test work on interleaved models.
+    """
     if isinstance(source, Scene):
         # NB: pulls arrays off the device — prefer the Topology path.
         real = np.asarray(source.tri_poly) != -2
@@ -304,6 +314,17 @@ def build_voxel_grid(
         tri = np.concatenate(parts, axis=0)
         tri_poly = np.concatenate(pp)
         tri_top = np.concatenate(tt)
+
+    # Per-topology restriction: fill over the selected triangles only, but
+    # keep GLOBAL ids in the packed rows (global_ids remap below).
+    global_ids = None
+    if only_top is not None:
+        sel = tri_top == only_top
+        if not sel.any():
+            raise ValueError(f"topology {only_top} has no triangles")
+        global_ids = np.nonzero(sel)[0].astype(np.int64)
+        tri_all, poly_all, top_all = tri, tri_poly, tri_top
+        tri = tri[sel]
 
     gmin = tri.reshape(-1, 3).min(axis=0) - pad
     gmax = tri.reshape(-1, 3).max(axis=0) + pad
@@ -339,6 +360,12 @@ def build_voxel_grid(
 
     counts = np.diff(cell_start)
     n_cells = int(np.prod(dims))
+
+    if global_ids is not None:
+        # Remap local fill ids to global; pack against the FULL arrays so
+        # the stored triangle/polygon/topology ids match the shared Scene.
+        cell_tris = global_ids[cell_tris]
+        tri, tri_poly, tri_top = tri_all, poly_all, top_all
 
     # ---- pack per-cell lists into the shared 128-lane window-row layout.
     win_data, win_start, n_wins_per_cell = pack_windows(
@@ -376,7 +403,8 @@ def build_voxel_grid(
 
 @partial(
     jax.jit,
-    static_argnames=("kernel", "top_index", "with_stats", "cap", "soft"),
+    static_argnames=("kernel", "top_index", "with_stats", "cap", "soft",
+                     "tier", "cap_s"),
 )
 def shoot_grid(
     scene: Scene,
@@ -388,6 +416,8 @@ def shoot_grid(
     with_stats: bool = False,
     cap: int = 16,
     soft: Optional[int] = None,
+    tier: Optional[int] = None,
+    cap_s: Optional[int] = None,
 ):
     """Nearest-hit query: collect-then-test 3-D DDA with empty-space skip.
 
@@ -434,9 +464,13 @@ def shoot_grid(
     # unresolved rays through the COMPACTED straggler rounds beats hauling
     # a deep buffer for all N rays.  None = C (no early pause).
     soft_eff = C if soft is None else max(1, min(int(soft), C))
-    # Occupied-cell runs collected per round (phase-1 keeps only (start,
-    # width) pairs; the (N, C) window-row buffer is expanded ONCE per round).
-    K = max(C // 2, 1)
+    # Straggler rounds can take a DEEPER buffer (r5, ``cap_s``): the
+    # config-5 grazing tail carries up to 161 candidate rows, and refilling
+    # a C=16 buffer serialized it through ~11 resume rounds (13 -> 4 rounds
+    # measured with cap_s=64).  Default stays C: on scenes whose tails are
+    # shallow (bench: rows max 6) the deep buffer's expand/test cost in the
+    # small tiers is pure waste (measured ~+3 ms of 5.6 at 32k).
+    C_S = C if cap_s is None else max(C, int(cap_s))
     # Phase-1 march bound: the 3(n-1)+3 DDA walk.
     p1_steps_max = nx + ny + nz + 3
     # Sub-steps per while iteration (see p1_body).
@@ -517,7 +551,6 @@ def shoot_grid(
     vzero = jnp.sum(o, axis=-1) * 0.0  # (N,)
     izero_v = vzero.astype(jnp.int32)
     izero = jnp.sum(izero_v)
-    lanes = jnp.arange(C, dtype=jnp.int32)[None, :]  # (1, C)
 
     # ======== phase 1: meta-only DDA march collecting candidate windows ====
     # The body is kept to a handful of (N,)-wide fusions and exactly ONE
@@ -526,8 +559,14 @@ def shoot_grid(
     # (row_start, n_rows) RUN into a narrow (n, K) pair of buffers — the
     # (n, C) window-row expansion happens ONCE per round after the loop
     # (profiled: the in-loop (N, C) select was ~60% of the body's VPU work).
-    def collect(ctx, cell, t_max, t_enter, active, best_t, steps_cap,
-                min_active=0):
+    # ``make_collect`` instantiates the loop for a given buffer depth: the
+    # full-width round runs lean (C slots), the compacted straggler rounds
+    # deep (C_S slots; r5 — see C_S above).
+    def make_collect(C_, K_, soft_):
+     lanes = jnp.arange(C_, dtype=jnp.int32)[None, :]  # (1, C_)
+
+     def collect(ctx, cell, t_max, t_enter, active, best_t, steps_cap,
+                 min_active=0):
         """March until off-grid, buffer full, past best_t, or steps_cap.
 
         ``min_active > 0``: also stop once at most that many rays are still
@@ -575,14 +614,14 @@ def shoot_grid(
             # (n, K) op wastes 128/K of the VPU (measured r4 — the same
             # layout lesson as the r3 (N,3)->SoA conversion).
             need = w > 0
-            fits = ((cnt_w + w <= soft_eff) | ((cnt_w == 0) & (w <= C))) & (
-                cnt_c < K
+            fits = ((cnt_w + w <= soft_) | ((cnt_w == 0) & (w <= C_))) & (
+                cnt_c < K_
             )
             take = collecting & need & fits
             packed = (ws << 8) | w
             runs = tuple(
                 jnp.where(take & (cnt_c == k), packed, runs[k])
-                for k in range(K)
+                for k in range(K_)
             )
             cnt_c = cnt_c + take.astype(jnp.int32)
             cnt_w = cnt_w + jnp.where(take, w, 0)
@@ -636,7 +675,7 @@ def shoot_grid(
 
         init = (
             cell, t_max, t_enter, active,
-            tuple(izv for _ in range(K)),  # runs (ws<<8 | w), K x (n,)
+            tuple(izv for _ in range(K_)),  # runs (ws<<8 | w), K_ x (n,)
             izv,  # cnt_c (occupied cells collected)
             izv,  # cnt_w (window rows collected)
             izv,  # iters
@@ -651,17 +690,19 @@ def shoot_grid(
         # Coverage is complete strictly below the entry of the pause cell.
         t_cap = jnp.where(paused, t_enter, jnp.inf)
 
-        # Expand the (run_start, run_width) pairs into the (n, C) window-row
+        # Expand the (run_start, run_width) pairs into the (n, C_) window-row
         # buffer — once per round, not once per DDA step.
-        buf = jnp.full((n, C), null_row, jnp.int32) + izv[:, None]
+        buf = jnp.full((n, C_), null_row, jnp.int32) + izv[:, None]
         off = izv
-        for k in range(K):
+        for k in range(K_):
             wk = runs[k] & 0xFF
             wsk = jax.lax.shift_right_logical(runs[k], 8)
             sel = (lanes >= off[:, None]) & (lanes < (off + wk)[:, None])
             buf = jnp.where(sel, wsk[:, None] + (lanes - off[:, None]), buf)
             off = off + wk
         return cell, t_max, t_enter, buf, paused, t_cap, iters
+
+     return collect
 
     # ======== phase 2: shared batched window test (accel/common.py) =======
     def test(ctx, buf, active, best_t, best_tri):
@@ -671,32 +712,118 @@ def shoot_grid(
             min_t, top_index, kernel=kernel,
         )
 
-    # Always-tested low slots; the rest go under a lax.cond that fires only
-    # when some ray actually used them (a single fat cell in an empty
-    # buffer).  With a soft threshold the common case stays <= soft rows.
-    TIER = min(max(1, C // 2 if soft is None else soft_eff), C)
+    # Always-tested low slots (TIER); higher slots are tested only for the
+    # rays that actually used them, at COMPACTED width (r5).  Measured at
+    # config-5 scale: with TIER = C//2 = 8 and a full-width cond arm, a
+    # 1M-ray round gathered 8-16M window rows against a mean of 4.6 useful
+    # rows/ray — a ~270 ms do-nothing floor (the "short-exit" probe,
+    # BASELINE.md r5).  Mean rows are ~1.9-4.6 across scenes; the default
+    # C//2 keeps shallow scenes on the single always-on gather (bench rows
+    # max 6 never wake the high arm), while ``tier=4`` + the compacted
+    # high arm wins on deep-tail scenes (config 5).
+    TIER_DEFAULT = C // 2 if soft is None else soft_eff
+    if tier is not None:
+        TIER_DEFAULT = int(tier)
     NS = min(N, max(2048, -(-N // 8)))  # compacted straggler width
 
-    def run_round(ctx, cell, t_max, t_enter, active, best_t, best_tri,
-                  steps_cap, min_active=0):
-        """One collect+test round at whatever width ctx/state are."""
-        cell, t_max, t_enter, buf, paused, t_cap, it1 = collect(
-            ctx, cell, t_max, t_enter, active, best_t, steps_cap, min_active
-        )
-        nrows = jnp.sum((buf != null_row).astype(jnp.int32), axis=1)
-        best_t, best_tri = test(ctx, buf[:, :TIER], active, best_t, best_tri)
-        if C > TIER:
-            # Skip the high-slot gather entirely when no ray used them.
-            best_t, best_tri = jax.lax.cond(
-                jnp.any(buf[:, TIER] != null_row),
-                lambda bt, btr: test(ctx, buf[:, TIER:], active, bt, btr),
-                lambda bt, btr: (bt, btr),
-                best_t,
-                best_tri,
+    def make_run_round(C_, K_, soft_, TIER_):
+        collect_ = make_collect(C_, K_, soft_)
+        TIER_ = min(max(1, TIER_), C_)
+
+        def run_round(ctx, cell, t_max, t_enter, active, best_t, best_tri,
+                      steps_cap, min_active=0):
+            """One collect+test round at whatever width ctx/state are."""
+            cell, t_max, t_enter, buf, paused, t_cap, it1 = collect_(
+                ctx, cell, t_max, t_enter, active, best_t, steps_cap,
+                min_active,
             )
-        # Resolved: full path covered, or a hit before the coverage limit.
-        resolved = ~paused | (best_t <= t_cap)
-        return cell, t_max, t_enter, resolved, best_t, best_tri, it1, nrows
+            nrows = jnp.sum((buf != null_row).astype(jnp.int32), axis=1)
+            best_t, best_tri = test(
+                ctx, buf[:, :TIER_], active, best_t, best_tri
+            )
+            if C_ > TIER_ and not compact_high:
+                # r4 structure (default): one cond, full-width high arm —
+                # fires only when some ray used the high slots.  Measured
+                # r5: on shallow-tail scenes the nested compact machinery
+                # below costs ~10% even when never taken (the extra cond
+                # chain breaks fusion around best_t), so it is opt-in via
+                # ``tier=``.
+                best_t, best_tri = jax.lax.cond(
+                    jnp.any(buf[:, TIER_] != null_row),
+                    lambda bt, btr: test(ctx, buf[:, TIER_:], active, bt, btr),
+                    lambda bt, btr: (bt, btr),
+                    best_t,
+                    best_tri,
+                )
+            elif C_ > TIER_:
+                n_ = buf.shape[0]
+                used = buf[:, TIER_] != null_row  # ray has high-slot rows
+                n_used = jnp.sum(used.astype(jnp.int32))
+                # Compacted-test width: n/2 covers the deep-tail scenes
+                # this opt-in path exists for (config 5: ~30-40% of rays
+                # exceed tier=4), halving the high-slot gather; more used
+                # rays than NH fall back to the full-width arm.
+                NH = max(2048, n_ // 2)
+                izv = buf[:, 0] * 0
+                rid = jnp.arange(n_, dtype=jnp.int32) + izv
+
+                def full_arm(bt, btr):
+                    return test(ctx, buf[:, TIER_:], active, bt, btr)
+
+                def skip_arm(bt, btr):
+                    return bt, btr
+
+                if NH >= n_:
+                    best_t, best_tri = jax.lax.cond(
+                        n_used > 0, full_arm, skip_arm, best_t, best_tri
+                    )
+                else:
+                    def compact_arm(bt, btr):
+                        pos = jnp.cumsum(used.astype(jnp.int32)) - 1
+                        sel = used & (pos < NH)
+                        sidx = (jnp.zeros((NH,), jnp.int32) + izv[:NH]).at[
+                            jnp.where(sel, pos, NH)
+                        ].set(rid, mode="drop")
+                        msk = (
+                            jnp.arange(NH, dtype=jnp.int32) + izv[:NH]
+                        ) < n_used
+                        o_, d_, ex_ = (
+                            ctx[7][sidx], ctx[8][sidx], ctx[9][sidx]
+                        )
+                        bt_s, btr_s = test_windows(
+                            grid.win_data, buf[:, TIER_:][sidx], o_, d_,
+                            ex_, msk, bt[sidx], btr[sidx], min_t,
+                            top_index, kernel=kernel,
+                        )
+                        wi = jnp.where(msk, sidx, n_)
+                        return (
+                            bt.at[wi].set(bt_s, mode="drop"),
+                            btr.at[wi].set(btr_s, mode="drop"),
+                        )
+
+                    best_t, best_tri = jax.lax.cond(
+                        n_used == 0,
+                        skip_arm,
+                        lambda bt, btr: jax.lax.cond(
+                            n_used <= NH, compact_arm, full_arm, bt, btr
+                        ),
+                        best_t,
+                        best_tri,
+                    )
+            # Resolved: full path covered, or a hit before the coverage
+            # limit.
+            resolved = ~paused | (best_t <= t_cap)
+            return (cell, t_max, t_enter, resolved, best_t, best_tri, it1,
+                    nrows)
+
+        return run_round
+
+    compact_high = tier is not None
+    run_round = make_run_round(C, max(C // 2, 1), soft_eff, TIER_DEFAULT)
+    soft_s = C_S if soft is None else max(1, min(int(soft), C_S))
+    run_round_s = make_run_round(
+        C_S, max(C_S // 2, 1), soft_s, TIER_DEFAULT
+    )
 
     # ======== round 1: full width ==========================================
     # The bulk of rays (coherent, short paths) resolve here in one pass; the
@@ -755,9 +882,11 @@ def shoot_grid(
             ctx_s = jax.tree.map(gath, rctx)
             cell_s = tuple(gath(x) for x in cell)
             tmax_s = tuple(gath(x) for x in t_max)
-            cell_s, tmax_s, te_s, res_s, bt_s, btr_s, it_s, nr_s = run_round(
-                ctx_s, cell_s, tmax_s, gath(t_enter), msk,
-                gath(best_t), gath(best_tri), p1_steps_max,
+            cell_s, tmax_s, te_s, res_s, bt_s, btr_s, it_s, nr_s = (
+                run_round_s(
+                    ctx_s, cell_s, tmax_s, gath(t_enter), msk,
+                    gath(best_t), gath(best_tri), p1_steps_max,
+                )
             )
             wi = jnp.where(msk, sidx, N)  # padding lanes dropped on scatter
             put = lambda full, small: full.at[wi].set(small, mode="drop")

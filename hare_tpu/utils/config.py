@@ -30,7 +30,10 @@ class HareConfig:
     domain: Optional[int] = None  # fixed grid resolution (Voxel_Grid.cs:48)
     max_doublings: int = 6  # adaptive cap (Voxel_Grid.cs:128)
     avg_polys: float = 10.0  # adaptive occupancy target (Voxel_Grid.cs:128)
-    max_depth: int = 8  # octree/kdtree (Octree - alt.cs:45, KDTree.cs:51)
+    # octree/kdtree depth cap (Octree - alt.cs:45, KDTree.cs:51); None =
+    # right-size to the scene (r5 — oversized depth inflates the register
+    # stack the lockstep traversal pays for every pop; see build_octree).
+    max_depth: Optional[int] = None
     max_tris_per_node: int = 16
     kernel: str = "watertight"  # watertight (default everywhere) | mt
     cap: int = 16  # grid candidate-buffer slots per round (shoot_grid cap)
@@ -42,6 +45,12 @@ class HareConfig:
     # Early-test threshold (shoot_grid soft); None = off (measured r4:
     # counterproductive on incoherent batches, kept for primary-ray use).
     soft: Optional[int] = None
+    # Deep-tail knobs (r5, shoot_grid): ``tier`` = always-tested buffer
+    # slots with a compacted high-slot arm; ``cap_s`` = deeper straggler
+    # buffer.  Worthwhile when per-ray candidate-row tails are long
+    # (config-5 scale: rows p99 37 / max 161); None = off.
+    tier: Optional[int] = None
+    cap_s: Optional[int] = None
     # Tracing
     n_rays: int = 1 << 15
     n_bounces: int = 8
@@ -74,7 +83,7 @@ class HareConfig:
                 p.add_argument(name, action="store_true", default=f.default)
             else:
                 typ = type(f.default) if f.default is not None else str
-                if f.default is None and f.name in ("domain", "win", "soft"):
+                if f.default is None and f.name in ("domain", "win", "soft", "tier", "cap_s", "max_depth"):
                     typ = int
                 p.add_argument(name, type=typ, default=f.default)
         return p
@@ -96,6 +105,10 @@ class HareConfig:
                 extra["win"] = self.win
             if self.soft is not None:
                 extra["soft"] = self.soft
+            if self.tier is not None:
+                extra["tier"] = self.tier
+            if self.cap_s is not None:
+                extra["cap_s"] = self.cap_s
             if self.domain is not None:
                 return {"domain": self.domain, "cap": self.cap, **extra}
             return {

@@ -149,6 +149,50 @@ def test_tree_agreement_hall(rng, which):
     agree(sc, fn, o, rand_dirs(rng, 100))
 
 
+@pytest.mark.parametrize("scene_kind", ["room", "soup", "hall"])
+def test_kdtree_ropes_agreement(rng, scene_kind):
+    """Stackless rope traversal (accel/ropes.py) == brute force on every
+    scene family; exercises leaf exits, rope re-descents, outside origins,
+    and buffer-overflow resume rounds."""
+    from hare_tpu.accel.ropes import build_kdtree_ropes, shoot_kdtree_ropes
+
+    if scene_kind == "room":
+        top = Topology.build(shapes.shoebox(4, 5, 3))
+        o = rng.uniform((0.2, 0.2, 0.2), (3.8, 4.8, 2.8), (300, 3))
+    elif scene_kind == "soup":
+        top = Topology.build(shapes.random_soup(300, seed=17))
+        o = rng.uniform(-1, 11, (300, 3))
+    else:
+        top = Topology.build(shapes.concert_hall())
+        o = rng.uniform((2, 2, 1), (28, 48, 16), (200, 3))
+    sc = top.scene()
+    tr = build_kdtree_ropes(top, max_depth=12, max_tris_per_node=8)
+    agree(sc, lambda s, r, **kw: shoot_kdtree_ropes(s, r, tr, **kw),
+          o, rand_dirs(rng, len(o)))
+
+
+def test_kdtree_ropes_exclusion_and_cap(rng):
+    from hare_tpu.accel.ropes import build_kdtree_ropes, shoot_kdtree_ropes
+
+    top = Topology.build(shapes.shoebox())
+    sc = top.scene()
+    tr = build_kdtree_ropes(top, max_depth=8, max_tris_per_node=4)
+    o = rng.uniform((0.5, 0.5, 0.5), (3.5, 4.5, 2.5), (50, 3)).astype(np.float32)
+    d = rand_dirs(rng, 50).astype(np.float32)
+    h0 = shoot_brute(sc, Ray.make(o, d))
+    ex = np.stack([np.asarray(h0.poly_id), np.full(50, -1)], axis=1).astype(np.int32)
+    h = shoot_kdtree_ropes(sc, Ray.make(o, d, ex), tr)
+    hit = np.asarray(h.hit)
+    assert (np.asarray(h.poly_id)[hit] != ex[hit, 0]).all()
+    # tiny cap forces overflow-resume rounds; results must stay exact
+    h2 = shoot_kdtree_ropes(sc, Ray.make(o, d), tr, cap=1, march=8)
+    np.testing.assert_array_equal(np.asarray(h2.hit), np.asarray(h0.hit))
+    m = np.asarray(h0.hit)
+    np.testing.assert_allclose(
+        np.asarray(h2.t)[m], np.asarray(h0.t)[m], rtol=1e-5
+    )
+
+
 def test_tree_exclusion(rng):
     top = Topology.build(shapes.shoebox())
     sc = top.scene()

@@ -173,6 +173,49 @@ def test_grid_multi_topology(rng):
     agree(sc, grid, o, d, top_index=0)
 
 
+def test_grid_per_topology_build(rng):
+    """only_top builds a per-topology grid whose rows carry GLOBAL ids —
+    the reference's 4-D Voxel_Inv per-topology lists (Voxel_Grid.cs:83):
+    a filtered shoot over it equals the combined grid's test-time filter
+    and brute force, for both topologies."""
+    from hare_tpu.geom import Ray as _Ray
+    from hare_tpu.accel import SpatialPartition
+
+    t1 = Topology.build(shapes.shoebox())
+    t2 = Topology.build(shapes.icosphere(1, radius=0.8, center=(2.0, 2.5, 1.5)))
+    sc = build_scene([t1, t2])
+    o = rng.uniform((0.5, 0.5, 0.5), (3.5, 4.5, 2.5), (100, 3))
+    d = rand_dirs(rng, 100)
+    for ti in (0, 1):
+        g_top = build_voxel_grid(sc, domain=8, only_top=ti)
+        # the per-top grid needs NO test-time top filter — its rows hold
+        # only that topology's triangles (with global ids)
+        rays = _Ray.make(jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32))
+        h_top = jax.tree.map(np.asarray, shoot_grid(sc, rays, g_top))
+        h_brute = jax.tree.map(
+            np.asarray, shoot_brute(sc, rays, top_index=ti)
+        )
+        np.testing.assert_array_equal(h_top.hit, h_brute.hit)
+        h = h_top.hit
+        np.testing.assert_allclose(h_top.t[h], h_brute.t[h], rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(h_top.poly_id[h], h_brute.poly_id[h])
+
+    # facade path: SpatialPartition.shoot(top_index=...) builds and caches
+    # the per-topology grid lazily
+    sp = SpatialPartition([t1, t2], accel="grid", domain=8)
+    h_f = jax.tree.map(np.asarray, sp.shoot(
+        _Ray.make(jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)),
+        top_index=1,
+    ))
+    h_b = jax.tree.map(np.asarray, shoot_brute(
+        sp.scene,
+        _Ray.make(jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)),
+        top_index=1,
+    ))
+    np.testing.assert_array_equal(h_f.hit, h_b.hit)
+    assert 1 in sp._top_grids  # cached
+
+
 def test_grid_boundary_origin_parallel_ray():
     """Origin exactly ON the grid's min-x face, direction parallel to it.
 
@@ -218,6 +261,26 @@ def test_chunked_test_windows_non_divisible(monkeypatch, rng):
     n = 131  # 131 rays / chunk 64 -> 3 chunks of 44, one lane padded
     o = rng.uniform((0.2, 0.2, 0.2), (3.8, 4.8, 2.8), (n, 3))
     agree(sc, grid, o, rand_dirs(rng, n))
+
+
+def test_grid_tier_caps_agreement(rng):
+    """r5 deep-tail knobs (``tier`` compacted high-slot arm, ``cap_s``
+    deeper straggler buffer) preserve exactness — results must equal the
+    default path and brute force even when the knobs force the compact /
+    resume machinery (tiny tier, tiny cap)."""
+    top = Topology.build(shapes.random_soup(300, seed=17))
+    sc = top.scene()
+    grid = build_voxel_grid(top, domain=8)
+    o = rng.uniform(-1, 11, (300, 3))
+    d = rand_dirs(rng, 300)
+    rays = Ray.make(jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32))
+    ref = jax.tree.map(np.asarray, shoot_grid(sc, rays, grid))
+    for kw in (dict(tier=2, cap_s=32), dict(cap=2, tier=1, cap_s=8)):
+        hg = jax.tree.map(np.asarray, shoot_grid(sc, rays, grid, **kw))
+        np.testing.assert_array_equal(ref.hit, hg.hit)
+        h = ref.hit
+        np.testing.assert_allclose(ref.t[h], hg.t[h], rtol=1e-6)
+        np.testing.assert_array_equal(ref.tri_id[h], hg.tri_id[h])
 
 
 def test_grid_soft_threshold_agreement(rng):
