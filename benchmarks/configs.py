@@ -140,12 +140,13 @@ def main(which: str):
         top = Topology.build(big_scene("650k"))
         t_topo = time.time() - t0
         t0 = time.time()
-        # r5 attribution: this config is pure KD-walk-bound (pops mean 194
-        # at leaf 16/depth 20).  Fatter leaves trade pops for window rows
-        # the test phase absorbs far more cheaply: leaf 16/32/64/128 ->
-        # 277/216/168/172 ms raw shoot (pops 191/135/99/69), so leaf 64 +
-        # auto depth is 1.65x the r4 configuration.
-        sp = SpatialPartition(top, accel="kdtree", max_tris_per_node=64)
+        # r5 attribution: this config is KD-walk-bound (pops mean 194 at
+        # leaf 16/depth 20).  Fatter leaves trade pops for window rows —
+        # PRIMARY shoots kept improving to leaf 64 (277/216/168 ms at
+        # 16/32/64) but the incoherent bounce-2 batch pays the extra rows,
+        # so end-to-end fwd+bwd (interleaved) is best at leaf 32:
+        # 439/346-378/534-542 ms at 16/32/64.  Leaf 32 + auto depth.
+        sp = SpatialPartition(top, accel="kdtree", max_tris_per_node=32)
         # NB: property access creates a fresh closure; hoist ONCE so the
         # jitted trace is not retraced (recompiled!) per timing iteration.
         shoot_fn = sp.shoot_fn

@@ -31,7 +31,8 @@ def test_config_roundtrip_and_cli():
     # accel_params carries BOTH build params and the shoot-time knobs
     # (cap/march) so a config round-trips into a traversal configuration.
     assert c3.accel_params() == {
-        "max_depth": 8, "max_tris_per_node": 16, "march": 32,
+        # max_depth None = right-size to the scene (r5)
+        "max_depth": None, "max_tris_per_node": 16, "march": 32,
     }
     assert HareConfig(accel="grid", domain=16).accel_params() == {
         "domain": 16, "cap": 16,
