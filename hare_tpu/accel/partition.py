@@ -22,6 +22,7 @@ from ..mesh.topology import Topology, build_scene
 from .brute import shoot_brute
 from .kdtree import build_kdtree, shoot_kdtree
 from .octree import build_octree, shoot_octree
+from .ropes import build_kdtree_ropes, shoot_kdtree_ropes
 from .voxel import build_voxel_grid, shoot_grid
 
 __all__ = ["SpatialPartition"]
@@ -30,7 +31,7 @@ __all__ = ["SpatialPartition"]
 class SpatialPartition:
     """Scene + acceleration structure, behind one ``shoot`` API.
 
-    accel: ``"brute" | "grid" | "octree" | "kdtree"``; structure build
+    accel: ``"brute" | "grid" | "octree" | "kdtree" | "kdtree_ropes"``; structure build
     parameters pass through (``domain/avg_polys`` for the grid a la
     ``Voxel_Grid.cs:48,128``; ``max_depth/max_tris_per_node`` for trees a la
     ``Octree - alt.cs:45`` / ``KDTree.cs:51``).
@@ -73,7 +74,7 @@ class SpatialPartition:
                               ("cap_s", cap_s)):
                 if val is not None:
                     self._shoot_kw[name] = val
-        if accel in ("octree", "kdtree") and march is not None:
+        if accel in ("octree", "kdtree", "kdtree_ropes") and march is not None:
             self._shoot_kw["march"] = march
 
         if accel == "brute":
@@ -101,6 +102,16 @@ class SpatialPartition:
             self._shoot = partial(shoot_kdtree, tree=self.struct, **self._shoot_kw)
             ext = np.asarray(self.struct.root_max - self.struct.root_min)
             self.char_step = float(ext.min()) / (2 ** min(self.struct.max_depth, 16))
+        elif accel == "kdtree_ropes":
+            # Stackless rope walk (accel/ropes.py) — measured slightly
+            # behind the stack machine on the bench scene (BASELINE.md r5)
+            # but exposed as a first-class backend: its two-scalar resume
+            # state may win on much deeper trees.
+            self.struct = build_kdtree_ropes(self.model, **params)
+            self._shoot = partial(
+                shoot_kdtree_ropes, tree=self.struct, **self._shoot_kw
+            )
+            self.char_step = self.struct.char_step
         else:
             raise ValueError(f"unknown accel {accel!r}")
 
@@ -162,6 +173,7 @@ class SpatialPartition:
                 "grid": shoot_grid,
                 "octree": shoot_octree,
                 "kdtree": shoot_kdtree,
+                "kdtree_ropes": shoot_kdtree_ropes,
             }[self.accel_name]
             kw = dict(self._shoot_kw)
             struct = self.struct

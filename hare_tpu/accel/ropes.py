@@ -89,15 +89,19 @@ class KDRopes:
 
 def build_kdtree_ropes(
     source: Union[Topology, Sequence[Topology], Scene],
-    max_depth: int = 16,
+    max_depth: Optional[int] = None,
     max_tris_per_node: int = 12,
     pad: float = 1e-3,
     win: Optional[int] = None,
 ) -> KDRopes:
     """Median-centroid KD build (same splitting semantics as
     ``build_kdtree`` — axis = depth mod 3, straddler duplication,
-    ``KDTree.cs:90-139``) plus per-leaf rope assignment."""
+    ``KDTree.cs:90-139``) plus per-leaf rope assignment.
+    ``max_depth=None`` right-sizes the depth (see build_kdtree)."""
     tri, tri_poly, tri_top = _extract(source)
+    if max_depth is None:
+        full = max(1, -(-len(tri) // max(max_tris_per_node, 1)))
+        max_depth = min(max(int(np.ceil(np.log2(full))) + 2, 2), 22)
     lo = tri.min(axis=1)
     hi = tri.max(axis=1)
     centroid = tri.mean(axis=1)

@@ -117,7 +117,7 @@ class HareConfig:
                 "cap": self.cap,
                 **extra,
             }
-        if self.accel in ("octree", "kdtree"):
+        if self.accel in ("octree", "kdtree", "kdtree_ropes"):
             return {
                 "max_depth": self.max_depth,
                 "max_tris_per_node": self.max_tris_per_node,

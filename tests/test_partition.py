@@ -1,4 +1,4 @@
-"""SpatialPartition facade: all four accel backends agree through one API."""
+"""SpatialPartition facade: every accel backend agrees through one API."""
 
 import numpy as np
 import jax
@@ -12,7 +12,9 @@ from hare_tpu.trace import trace_rays
 
 
 @pytest.mark.quick
-@pytest.mark.parametrize("accel", ["brute", "grid", "octree", "kdtree"])
+@pytest.mark.parametrize(
+    "accel", ["brute", "grid", "octree", "kdtree", "kdtree_ropes"]
+)
 def test_partition_backends_agree(rng, accel):
     top = Topology.build(shapes.concert_hall())
     ref = SpatialPartition(top, accel="brute")
