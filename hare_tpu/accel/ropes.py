@@ -47,8 +47,13 @@ from ..geom.intersect import MIN_T, ray_aabb
 from ..geom.primitives import Ray
 from ..mesh.scene import Scene
 from ..mesh.topology import Topology
-from .common import finalize_hits, pack_windows, test_windows
-from .octree import _extract
+from .common import (
+    finalize_hits,
+    pack_windows,
+    straggler_tiers,
+    test_windows,
+)
+from .octree import _extract, auto_depth
 
 __all__ = ["KDRopes", "build_kdtree_ropes", "shoot_kdtree_ropes"]
 
@@ -100,8 +105,7 @@ def build_kdtree_ropes(
     ``max_depth=None`` right-sizes the depth (see build_kdtree)."""
     tri, tri_poly, tri_top = _extract(source)
     if max_depth is None:
-        full = max(1, -(-len(tri) // max(max_tris_per_node, 1)))
-        max_depth = min(max(int(np.ceil(np.log2(full))) + 2, 2), 22)
+        max_depth = auto_depth(len(tri), max_tris_per_node, 2, 2, 2, 22)
     lo = tri.min(axis=1)
     hi = tri.max(axis=1)
     centroid = tri.mean(axis=1)
@@ -357,9 +361,10 @@ def shoot_kdtree_ropes(
             ws = jax.lax.bitcast_convert_type(row[:, 10], jnp.int32)
             w = jax.lax.bitcast_convert_type(row[:, 11], jnp.int32)
             need = leaf & (w > 0)
-            fits = ((cnt_w + w <= C) | ((cnt_w == 0) & (w <= C))) & (
-                cnt_c < K
-            )
+            # C >= max_leaf_wins, so an empty buffer always fits any one
+            # leaf — no separate escape clause needed (unlike voxel.py's
+            # collect, whose first clause uses the soft threshold < C).
+            fits = (cnt_w + w <= C) & (cnt_c < K)
             take = collecting & need & fits
             packed = (ws << 8) | w
             runs = tuple(
@@ -484,62 +489,17 @@ def shoot_kdtree_ropes(
     )
     done = done | resolved
 
-    ray_ids = jnp.arange(N, dtype=jnp.int32) + izero_v
+    # Shared chained-compaction straggler machinery (accel/common.py).
+    def round_s(ctx_s, st, msk, bt, btr):
+        node_s, t_s, pos_s = st
+        node_s, t_s, pos_s, res_s, bt, btr, it_s, nr_s = run_round(
+            ctx_s, node_s, t_s, pos_s, msk, bt, btr
+        )
+        return (node_s, t_s, pos_s), res_s, bt, btr, (it_s, nr_s)
 
-    def straggler_loop(state, ns, stop_below):
-        ns_lanes = jnp.arange(ns, dtype=jnp.int32) + izero_v[:ns]
-        max_small_rounds = max_rounds * max(1, N // ns)
-
-        def s_cond(c):
-            n_active = jnp.sum((~c[4]).astype(jnp.int32))
-            return (n_active > stop_below) & (c[7] < max_small_rounds)
-
-        def s_body(c):
-            (node, t_cur, pos, _, done, best_t, best_tri, rounds, iters,
-             nrows) = c
-            active = ~done
-            p = jnp.cumsum(active.astype(jnp.int32)) - 1
-            sel = active & (p < ns)
-            sidx = (jnp.zeros((ns,), jnp.int32) + izero_v[:ns]).at[
-                jnp.where(sel, p, ns)
-            ].set(ray_ids, mode="drop")
-            msk = ns_lanes < jnp.sum(sel.astype(jnp.int32))
-
-            gath = lambda a: a[sidx]
-            ctx_s = jax.tree.map(gath, rctx)
-            pos_s = tuple(gath(x) for x in pos)
-            node_s, t_s, pos_s, res_s, bt_s, btr_s, it_s, nr_s = run_round(
-                ctx_s, gath(node), gath(t_cur), pos_s, msk,
-                gath(best_t), gath(best_tri),
-            )
-            wi = jnp.where(msk, sidx, N)
-            put = lambda full, small: full.at[wi].set(small, mode="drop")
-            return (
-                put(node, node_s),
-                put(t_cur, t_s),
-                tuple(put(f, s) for f, s in zip(pos, pos_s)),
-                c[3],
-                put(done, res_s),
-                put(best_t, bt_s),
-                put(best_tri, btr_s),
-                rounds + 1,
-                iters.at[wi].add(it_s, mode="drop"),
-                nrows.at[wi].add(jnp.where(msk, nr_s, 0), mode="drop"),
-            )
-
-        return jax.lax.while_loop(s_cond, s_body, state)
-
-    state = (node, t_cur, pos, izero, done, best_t, best_tri, izero + 1,
-             iters, nrows)
-    tiers = [NS]
-    while tiers[-1] > 2048:
-        tiers.append(max(2048, tiers[-1] // 4))
-    tiers = tiers[:3]
-    for i, ns in enumerate(tiers):
-        nxt = tiers[i + 1] if i + 1 < len(tiers) else 0
-        state = straggler_loop(state, ns, stop_below=nxt)
-    best_t, best_tri, rounds, iters, nrows = (
-        state[5], state[6], state[7], state[8], state[9]
+    _, done, best_t, best_tri, rounds, (iters, nrows) = straggler_tiers(
+        round_s, rctx, (node, t_cur, pos), done, best_t, best_tri,
+        (iters, nrows), NS, max_rounds,
     )
     hits = finalize_hits(scene, rays, best_t, best_tri, kernel)
     if with_stats:

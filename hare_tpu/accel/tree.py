@@ -64,7 +64,12 @@ import jax.numpy as jnp
 from ..geom.intersect import MIN_T
 from ..geom.primitives import HitRecord, Ray
 from ..mesh.scene import Scene
-from .common import finalize_hits, pack_windows, test_windows
+from .common import (
+    finalize_hits,
+    pack_windows,
+    straggler_tiers,
+    test_windows,
+)
 
 __all__ = [
     "TreeTables", "build_tree_tables", "collapse_levels", "shoot_tree",
@@ -535,63 +540,22 @@ def shoot_tree(
     )
     done = done0 | (sp == 0)
 
-    # ======== straggler rounds: COMPACTED width ===========================
+    # ======== straggler rounds: COMPACTED width (shared machinery) =========
     # Lockstep pays for the worst lane and tree pop counts are long-tailed
     # (KD measured mean 43 / max 118 pops on the bench scene): unresolved
-    # rays are compacted (cumsum + scatter) into a narrower state — stack
-    # included — and marched there.  As in voxel.py (r4), the loop runs as
-    # up to three width TIERS, each handing off to a 4x narrower one when
-    # the active count drops below the next width, so the long pop tail is
-    # not paid at the full compaction width.
-    ray_ids = jnp.arange(N, dtype=jnp.int32) + izero_v
+    # rays — stack included — ride the shared chained-compaction tiers
+    # (accel/common.straggler_tiers).
+    def round_s(ctx_s, st, msk, bt, btr):
+        stack_s, sp_s = st
+        stack_s, sp_s, bt, btr, it_s = run_round(
+            ctx_s, stack_s, sp_s, msk, bt, btr
+        )
+        return (stack_s, sp_s), sp_s == 0, bt, btr, (it_s,)
 
-    def straggler_loop(state, ns, stop_below):
-        ns_lanes = jnp.arange(ns, dtype=jnp.int32) + izero_v[:ns]
-        max_small_rounds = max_rounds * max(1, N // ns)
-
-        def s_cond(c):
-            n_active = jnp.sum((~c[2]).astype(jnp.int32))
-            return (n_active > stop_below) & (c[5] < max_small_rounds)
-
-        def s_body(c):
-            stack, sp, done, best_t, best_tri, rounds, iters = c
-            active = ~done
-            pos = jnp.cumsum(active.astype(jnp.int32)) - 1
-            sel = active & (pos < ns)
-            sidx = (jnp.zeros((ns,), jnp.int32) + izero_v[:ns]).at[
-                jnp.where(sel, pos, ns)
-            ].set(ray_ids, mode="drop")
-            msk = ns_lanes < jnp.sum(sel.astype(jnp.int32))
-
-            gath = lambda a: a[sidx]
-            ctx_s = jax.tree.map(gath, rctx)
-            stack_s, sp_s, bt_s, btr_s, it_s = run_round(
-                ctx_s, jax.tree.map(gath, stack), gath(sp), msk,
-                gath(best_t), gath(best_tri),
-            )
-            wi = jnp.where(msk, sidx, N)  # padding lanes dropped on scatter
-            put = lambda full, small: full.at[wi].set(small, mode="drop")
-            return (
-                jax.tree.map(put, stack, stack_s),
-                put(sp, sp_s),
-                put(done, sp_s == 0),
-                put(best_t, bt_s),
-                put(best_tri, btr_s),
-                rounds + 1,
-                iters.at[wi].add(it_s, mode="drop"),
-            )
-
-        return jax.lax.while_loop(s_cond, s_body, state)
-
-    state = (stack, sp, done, best_t, best_tri, izero + 1, iters)
-    tiers = [NS]
-    while tiers[-1] > 2048:
-        tiers.append(max(2048, tiers[-1] // 4))
-    tiers = tiers[:3]  # compile-size cap; 3 tiers span 16x in width
-    for i, ns in enumerate(tiers):
-        nxt = tiers[i + 1] if i + 1 < len(tiers) else 0
-        state = straggler_loop(state, ns, stop_below=nxt)
-    best_t, best_tri, iters = state[3], state[4], state[6]
+    _, done, best_t, best_tri, _, (iters,) = straggler_tiers(
+        round_s, rctx, (stack, sp), done, best_t, best_tri, (iters,),
+        NS, max_rounds,
+    )
     hits = finalize_hits(scene, rays, best_t, best_tri, kernel)
     if with_stats:
         return hits, iters

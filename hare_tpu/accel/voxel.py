@@ -63,7 +63,12 @@ from ..geom.primitives import HitRecord, Ray
 from ..geom.tribox import tri_box_overlap
 from ..mesh.scene import Scene
 from ..mesh.topology import Topology
-from .common import finalize_hits, pack_windows, test_windows
+from .common import (
+    finalize_hits,
+    pack_windows,
+    straggler_tiers,
+    test_windows,
+)
 
 __all__ = ["VoxelGrid", "build_voxel_grid", "shoot_grid"]
 
@@ -840,81 +845,21 @@ def shoot_grid(
     )
     done = done | resolved
 
-    # ======== straggler rounds: COMPACTED width =============================
-    # Lockstep traversal pays for the worst lane: a handful of long-path /
-    # buffer-overflow rays would keep every one of the N lanes marching
-    # (measured: incoherent bounce-2/3 batches ran 2-3 full-width rounds at
-    # 2-3x the round-1 cost).  Instead, unresolved rays are compacted
-    # (cumsum + scatter) into a narrower state and marched there, so each
-    # extra round costs a fraction of a full one.  More than fit simply
-    # take extra trips through the loop (the partition is stable).
-    #
-    # TWO width tiers (r4): at config-5 scale a grazing-ray tail (rows up
-    # to 161 vs the C=16 buffer) needed ~11 resume rounds, and every one
-    # ran at the full NS = N/8 compacted width even when only a few
-    # thousand rays remained — the tail was >80 % of the shoot.  Tier 1
-    # runs while more than NS2 rays are active; the long tail then drops
-    # to the 4x narrower tier 2.
-    ray_ids = jnp.arange(N, dtype=jnp.int32) + izero_v
+    # ======== straggler rounds: COMPACTED width (shared machinery) =========
+    # Lockstep traversal pays for the worst lane: unresolved rays are
+    # compacted into chained narrower tiers and marched there — see
+    # accel/common.straggler_tiers (r4 design, extracted r5).  The deeper
+    # C_S buffer rides only in these rounds.
+    def round_s(ctx_s, st, msk, bt, btr):
+        cell_s, tmax_s, te_s = st
+        cell_s, tmax_s, te_s, res_s, bt, btr, it_s, nr_s = run_round_s(
+            ctx_s, cell_s, tmax_s, te_s, msk, bt, btr, p1_steps_max
+        )
+        return (cell_s, tmax_s, te_s), res_s, bt, btr, (it_s, nr_s)
 
-    def straggler_loop(state, ns, stop_below):
-        ns_lanes = jnp.arange(ns, dtype=jnp.int32) + izero_v[:ns]
-        max_small_rounds = max_rounds * max(1, N // ns)
-
-        def s_cond(c):
-            n_active = jnp.sum((~c[3]).astype(jnp.int32))
-            return (
-                (n_active > stop_below) & (c[6] < max_small_rounds)
-            )
-
-        def s_body(c):
-            (cell, t_max, t_enter, done, best_t, best_tri, rounds, iters,
-             nrows) = c
-            active = ~done
-            pos = jnp.cumsum(active.astype(jnp.int32)) - 1
-            sel = active & (pos < ns)
-            sidx = (jnp.zeros((ns,), jnp.int32) + izero_v[:ns]).at[
-                jnp.where(sel, pos, ns)
-            ].set(ray_ids, mode="drop")
-            msk = ns_lanes < jnp.sum(sel.astype(jnp.int32))
-
-            gath = lambda a: a[sidx]
-            ctx_s = jax.tree.map(gath, rctx)
-            cell_s = tuple(gath(x) for x in cell)
-            tmax_s = tuple(gath(x) for x in t_max)
-            cell_s, tmax_s, te_s, res_s, bt_s, btr_s, it_s, nr_s = (
-                run_round_s(
-                    ctx_s, cell_s, tmax_s, gath(t_enter), msk,
-                    gath(best_t), gath(best_tri), p1_steps_max,
-                )
-            )
-            wi = jnp.where(msk, sidx, N)  # padding lanes dropped on scatter
-            put = lambda full, small: full.at[wi].set(small, mode="drop")
-            return (
-                tuple(put(f, s) for f, s in zip(cell, cell_s)),
-                tuple(put(f, s) for f, s in zip(t_max, tmax_s)),
-                put(t_enter, te_s),
-                put(done, res_s),
-                put(best_t, bt_s),
-                put(best_tri, btr_s),
-                rounds + 1,
-                iters.at[wi].add(it_s, mode="drop"),
-                nrows.at[wi].add(jnp.where(msk, nr_s, 0), mode="drop"),
-            )
-
-        return jax.lax.while_loop(s_cond, s_body, state)
-
-    state = (cell, t_max, t_enter, done, best_t, best_tri, izero + 1, iters,
-             nrows)
-    tiers = [NS]
-    while tiers[-1] > 2048:
-        tiers.append(max(2048, tiers[-1] // 4))
-    tiers = tiers[:3]  # compile-size cap; 3 tiers span 16x in width
-    for i, ns in enumerate(tiers):
-        nxt = tiers[i + 1] if i + 1 < len(tiers) else 0
-        state = straggler_loop(state, ns, stop_below=nxt)
-    best_t, best_tri, rounds, iters, nrows = (
-        state[4], state[5], state[6], state[7], state[8]
+    state, done, best_t, best_tri, rounds, (iters, nrows) = straggler_tiers(
+        round_s, rctx, (cell, t_max, t_enter), done, best_t, best_tri,
+        (iters, nrows), NS, max_rounds,
     )
     hits = finalize_hits(scene, rays, best_t, best_tri, kernel)
     if with_stats:

@@ -215,6 +215,14 @@ def test_grid_per_topology_build(rng):
     np.testing.assert_array_equal(h_f.hit, h_b.hit)
     assert 1 in sp._top_grids  # cached
 
+    # Out-of-range topology index must return all-miss (pre-r5 behavior),
+    # not raise from the per-topology build.
+    h_none = sp.shoot(
+        _Ray.make(jnp.asarray(o[:8], jnp.float32), jnp.asarray(d[:8], jnp.float32)),
+        top_index=5,
+    )
+    assert not np.asarray(h_none.hit).any()
+
 
 def test_grid_boundary_origin_parallel_ray():
     """Origin exactly ON the grid's min-x face, direction parallel to it.
