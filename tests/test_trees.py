@@ -96,6 +96,30 @@ def test_kdtree_build():
     tr2 = build_kdtree(top, max_depth=14, max_tris_per_node=12, levels=3)
     assert tr2.branch == 8
     assert set(_reachable_tris(tr2)) == set(range(top.n_tris))
+    # SAH (default) vs median (reference parity): both cover every triangle;
+    # SAH's empty-space cut-off + cost-based termination yield fewer nodes.
+    tr_m = build_kdtree(top, max_depth=14, max_tris_per_node=12, split="median")
+    assert set(_reachable_tris(tr_m)) == set(range(top.n_tris))
+    assert tr.n_nodes < tr_m.n_nodes
+
+
+@pytest.mark.parametrize("split", ["median", "sah"])
+@pytest.mark.parametrize("backend", ["kdtree", "kdtree_ropes"])
+def test_kdtree_split_policies(rng, split, backend):
+    """Both plane-placement policies x both KD traversals == brute force
+    (the r5 SAH build must not change any hit, only the tree shape)."""
+    from hare_tpu.accel.ropes import build_kdtree_ropes, shoot_kdtree_ropes
+
+    top = Topology.build(shapes.random_soup(300, seed=17))
+    sc = top.scene()
+    if backend == "kdtree":
+        tr = build_kdtree(top, max_tris_per_node=8, split=split)
+        fn = lambda s, r, **kw: shoot_kdtree(s, r, tr, **kw)
+    else:
+        tr = build_kdtree_ropes(top, max_tris_per_node=8, split=split)
+        fn = lambda s, r, **kw: shoot_kdtree_ropes(s, r, tr, **kw)
+    o = rng.uniform(-1, 11, (300, 3))
+    agree(sc, fn, o, rand_dirs(rng, 300))
 
 
 # ---------------------------------------------------------------- agreement
